@@ -1,0 +1,80 @@
+"""Ragged (CSR) bag representation under XLA static shapes.
+
+The reference's wire format is CSR: a flat ``indices`` array plus per-batch
+``offsets`` (emb_host.h:234 ``lookup(uint32_t **indices, uint32_t **offsets,
+...)``), padded to a fixed capacity ``MAX_INDICES_PER_BATCH * MAX_NR_BATCHES``
+(emb_host.h:30) so the host->DPU transfer size is static.  XLA has the same
+static-shape constraint, so we keep exactly that contract: a fixed-capacity
+flat index buffer + an offsets vector; entries at positions >= offsets[-1]
+are padding and contribute nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def segment_ids_from_offsets(offsets: jax.Array, capacity: int) -> jax.Array:
+    """Map flat entry position -> owning bag id.
+
+    ``offsets`` has shape [B+1] with offsets[0] == 0; entries in
+    [offsets[b], offsets[b+1]) belong to bag b.  Positions >= offsets[B]
+    (padding) map to segment id B, which callers drop.
+
+    This replaces the reference's per-tasklet pointer walk over offsets
+    (emb_dpu_lookup.c:106-116) with a vectorised searchsorted.
+    """
+    pos = jnp.arange(capacity, dtype=offsets.dtype)
+    # bag b iff offsets[b] <= pos < offsets[b+1]  <=>  searchsorted of pos
+    # into offsets[1:] from the right.
+    return jnp.searchsorted(offsets[1:], pos, side="right")
+
+
+def pack_bags(
+    bags: Sequence[Sequence[int]], capacity: int, pad_index: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side helper: python list-of-bags -> (indices[capacity], offsets[B+1]).
+
+    The analog of the reference host code flattening per-batch bags before
+    dpu_push_xfer (c_test.py:46-63 builds exactly this layout).
+    """
+    flat = [i for bag in bags for i in bag]
+    if len(flat) > capacity:
+        raise ValueError(f"{len(flat)} indices exceed capacity {capacity}")
+    indices = np.full((capacity,), pad_index, dtype=np.int32)
+    indices[: len(flat)] = np.asarray(flat, dtype=np.int32)
+    offsets = np.zeros((len(bags) + 1,), dtype=np.int32)
+    np.cumsum([len(b) for b in bags], out=offsets[1:])
+    return indices, offsets
+
+
+def dense_to_csr(indices_2d: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[B, L] fixed-pooling dense indices -> CSR (flat indices, offsets)."""
+    b, l = indices_2d.shape
+    offsets = jnp.arange(b + 1, dtype=jnp.int32) * l
+    return indices_2d.reshape(-1), offsets
+
+
+def csr_to_dense(
+    indices: jax.Array, offsets: jax.Array, max_len: int, pad_index: int = 0
+) -> tuple[jax.Array, jax.Array]:
+    """CSR -> ([B, max_len] indices, [B, max_len] validity mask).
+
+    Bags longer than max_len are truncated; used by the one-hot/matmul path.
+    """
+    b = offsets.shape[0] - 1
+    lane = jnp.arange(max_len, dtype=offsets.dtype)
+    starts = offsets[:-1, None]
+    ends = offsets[1:, None]
+    pos = starts + lane[None, :]
+    mask = pos < ends
+    gathered = jnp.where(mask, indices[jnp.minimum(pos, indices.shape[0] - 1)], pad_index)
+    return gathered, mask
+
+
+def bag_lengths(offsets: jax.Array) -> jax.Array:
+    return offsets[1:] - offsets[:-1]

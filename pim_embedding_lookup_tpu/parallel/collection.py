@@ -1,0 +1,203 @@
+"""Sharded embedding collection: fused multi-table storage + distributed
+pooled lookup over a (data, model) mesh.
+
+This is the TPU re-design of the reference host runtime's job
+(emb_host.h: populate_mram shards tables onto DPUs; lookup broadcasts
+indices, launches, and merges per-column int32 results via post_process):
+
+  reference (UPMEM)                          here (TPU)
+  ----------------------------------------  -------------------------------
+  one DPU per (table, column)                (data, model) mesh; per-policy
+    (emb_host.h:157,167)                       NamedSharding on fused storage
+  populate_mram per-column host->MRAM DMA    jax.device_put against the
+    (emb_host.h:136-183)                       sharding (one shot, no loop)
+  indices broadcast to a table's DPUs        queries replicated over model,
+    (emb_host.h:258-263)                       sharded over data (batch DP)
+  sync dpu_launch + result pull + /1e9       one jitted shard_map: local
+    transpose merge (emb_host.h:297-321,      gather+pool then psum (ROW/
+    186-222)                                   TABLE_WISE) or dim-concat
+                                               all-gather (COLUMN)
+
+Queries use the dense padded form [T, B, L] + mask — the same contract as
+the reference's MAX_INDICES_PER_BATCH padding (emb_host.h:30,258-263) — so
+batches shard cleanly and XLA sees fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ShardingPolicy, TableConfig
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .planner import FusedLayout, plan
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingCollection:
+    """A set of same-dim embedding tables fused into one sharded array.
+
+    Usage:
+        coll = EmbeddingCollection.create(tables, mesh, policy)
+        fused = coll.init(key)                      # sharded [total_rows, D]
+        pooled = coll.lookup(fused, idx, mask)      # [B, T, D]
+    """
+
+    layout: FusedLayout
+    mesh: Mesh
+
+    @staticmethod
+    def create(
+        tables: Sequence[TableConfig],
+        mesh: Mesh,
+        policy: ShardingPolicy = ShardingPolicy.AUTO,
+    ) -> "EmbeddingCollection":
+        num_shards = mesh.shape[MODEL_AXIS]
+        return EmbeddingCollection(plan(tables, num_shards, policy), mesh)
+
+    # -- storage ------------------------------------------------------------
+
+    @property
+    def table_sharding(self) -> NamedSharding:
+        if self.layout.policy == ShardingPolicy.COLUMN:
+            return NamedSharding(self.mesh, P(None, MODEL_AXIS))
+        if self.layout.policy == ShardingPolicy.REPLICATE:
+            return NamedSharding(self.mesh, P())
+        return NamedSharding(self.mesh, P(MODEL_AXIS, None))  # ROW / TABLE_WISE
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """Initialize the fused table, laid out directly into its sharding.
+
+        Per-table uniform(-1/sqrt(n), 1/sqrt(n)) — the dlrm EmbeddingBag
+        init convention the reference's model layer quantises from
+        (SURVEY.md §3.3).  jit with out_shardings creates each shard on its
+        owning device: the analog of populate_mram's per-DPU pushes without
+        ever materialising the full table on one host.
+        """
+        lo = self._row_scale_bounds(dtype)
+
+        def make(k):
+            u = jax.random.uniform(
+                k, (self.layout.total_rows, self.layout.dim), dtype, -1.0, 1.0
+            )
+            return u * lo
+
+        return jax.jit(make, out_shardings=self.table_sharding)(key)
+
+    def _row_scale_bounds(self, dtype) -> jax.Array:
+        """Per-fused-row init scale: 1/sqrt(num_rows of the owning table)."""
+        scale = np.zeros((self.layout.total_rows, 1), dtype=np.float32)
+        for off, rows in zip(self.layout.row_offsets, self.layout.table_rows):
+            scale[off : off + rows] = 1.0 / np.sqrt(rows)
+        return jnp.asarray(scale, dtype=dtype)
+
+    def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> jax.Array:
+        """Load pre-existing per-table weights (populate_mram parity path,
+        emb_host.h:136: host pushes externally-built table data)."""
+        fused = np.zeros((self.layout.total_rows, self.layout.dim), np.float32)
+        for arr, off, rows in zip(
+            host_tables, self.layout.row_offsets, self.layout.table_rows
+        ):
+            if arr.shape != (rows, self.layout.dim):
+                raise ValueError(f"table shape {arr.shape} != {(rows, self.layout.dim)}")
+            fused[off : off + rows] = arr
+        return jax.device_put(jnp.asarray(fused), self.table_sharding)
+
+    # -- query globalization ------------------------------------------------
+
+    def globalize(self, indices: jax.Array) -> jax.Array:
+        """Per-table local ids [T, B, L] -> fused row ids."""
+        offs = jnp.asarray(self.layout.row_offsets, dtype=indices.dtype)
+        return indices + offs[:, None, None]
+
+    # -- lookup -------------------------------------------------------------
+
+    def lookup(
+        self, fused_table: jax.Array, indices: jax.Array, mask: jax.Array
+    ) -> jax.Array:
+        """Pooled SUM lookup.
+
+        indices: [T, B, L] per-table row ids (local, not fused);
+        mask:    [T, B, L] validity;
+        returns  [B, T, D] pooled vectors (the reference's final_results
+        layout after post_process's col->row transpose, emb_host.h:207-212).
+        """
+        g_idx = self.globalize(indices)
+        return _lookup_dispatch(
+            self.mesh,
+            self.layout.policy,
+            self.layout.rows_per_shard,
+            fused_table,
+            g_idx,
+            mask,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard")
+)
+def _lookup_dispatch(mesh, policy, rows_per_shard, fused_table, g_idx, mask):
+    if policy == ShardingPolicy.REPLICATE:
+        fn = shard_map(
+            _local_pooled_lookup,
+            mesh=mesh,
+            in_specs=(P(), P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),
+            out_specs=P(DATA_AXIS, None, None),
+        )
+        return fn(fused_table, g_idx, mask)
+
+    if policy == ShardingPolicy.COLUMN:
+        fn = shard_map(
+            _local_pooled_lookup,
+            mesh=mesh,
+            in_specs=(
+                P(None, MODEL_AXIS),
+                P(None, DATA_AXIS, None),
+                P(None, DATA_AXIS, None),
+            ),
+            # output dim stays sharded over model — downstream ops decide
+            # when/if to all-gather (XLA inserts it lazily on use).
+            out_specs=P(DATA_AXIS, None, MODEL_AXIS),
+        )
+        return fn(fused_table, g_idx, mask)
+
+    # ROW / TABLE_WISE: ownership-masked local pool + psum merge — the
+    # reduce-scatter/all-reduce replacing the host-side post_process merge.
+    local = functools.partial(_rowshard_pooled_lookup, rows_per_shard)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None),
+            P(None, DATA_AXIS, None),
+            P(None, DATA_AXIS, None),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+    )
+    return fn(fused_table, g_idx, mask)
+
+
+def _local_pooled_lookup(table, g_idx, mask):
+    """[rows, D], [T, Bs, L], [T, Bs, L] -> [Bs, T, D] dense gather+pool."""
+    rows = jnp.take(table, g_idx, axis=0)  # [T, Bs, L, D]
+    pooled = jnp.sum(rows * mask[..., None].astype(rows.dtype), axis=2)
+    return jnp.transpose(pooled, (1, 0, 2))
+
+
+def _rowshard_pooled_lookup(rows_per_shard, table_shard, g_idx, mask):
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    start = shard * rows_per_shard
+    local = g_idx - start
+    owned = (local >= 0) & (local < rows_per_shard) & mask
+    local = jnp.where(owned, local, 0)
+    rows = jnp.take(table_shard, local, axis=0)  # [T, Bs, L, D]
+    pooled = jnp.sum(rows * owned[..., None].astype(rows.dtype), axis=2)
+    pooled = jnp.transpose(pooled, (1, 0, 2))
+    return jax.lax.psum(pooled, MODEL_AXIS)
