@@ -34,17 +34,19 @@ def decode(x: jax.Array, scale: float = SCALE) -> jax.Array:
     return x.astype(jnp.float32) / scale
 
 
-@functools.partial(jax.jit, static_argnames=("batch_size",))
+@functools.partial(jax.jit, static_argnames=("batch_size", "decode_output"))
 def embedding_bag_fixed_point(
     table_i32: jax.Array,  # [N, D] int32 encoded
     indices: jax.Array,  # [C]
     offsets: jax.Array,  # [B+1]
     *,
     batch_size: int,
-) -> jax.Array:  # [B, D] float32 decoded
+    decode_output: bool = True,
+) -> jax.Array:  # [B, D] float32 decoded (or raw int32 sums)
     """SUM-pool in int32 with wraparound, then decode — exactly the DPU
     kernel's arithmetic (emb_dpu_lookup.c:114 int32 accumulate, then host-side
-    /1e9)."""
+    /1e9).  ``decode_output=False`` returns the raw int32 sums (the "results"
+    MRAM symbol contents before post_process) for bitwise parity checks."""
     capacity = indices.shape[0]
     seg_ids = segment_ids_from_offsets(offsets, capacity)
     rows = jnp.take(table_i32, indices, axis=0)
@@ -52,4 +54,4 @@ def embedding_bag_fixed_point(
     pooled = jax.ops.segment_sum(
         rows, seg_ids, num_segments=batch_size + 1, indices_are_sorted=True
     )[:batch_size]
-    return decode(pooled)
+    return decode(pooled) if decode_output else pooled
