@@ -1,0 +1,28 @@
+"""Mesh construction, table placement planning, and sharded lookup."""
+
+from .collection import EmbeddingCollection
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharded,
+    col_sharded,
+    make_mesh,
+    replicated,
+    row_sharded,
+    shard_count,
+)
+from .planner import FusedLayout, plan
+
+__all__ = [
+    "EmbeddingCollection",
+    "FusedLayout",
+    "plan",
+    "make_mesh",
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "replicated",
+    "batch_sharded",
+    "row_sharded",
+    "col_sharded",
+    "shard_count",
+]
