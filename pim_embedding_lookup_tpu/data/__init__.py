@@ -1,0 +1,12 @@
+"""Data layer: synthetic query/batch generators and the Criteo Kaggle loader."""
+
+from .criteo import CriteoKaggle, find_dataset
+from .synthetic import QueryGenerator, SyntheticDLRMBatches, random_tables
+
+__all__ = [
+    "CriteoKaggle",
+    "find_dataset",
+    "QueryGenerator",
+    "SyntheticDLRMBatches",
+    "random_tables",
+]
