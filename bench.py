@@ -1,0 +1,156 @@
+"""Headline benchmark: pooled embedding lookups/s/chip at the Criteo-Kaggle
+26-table config (BASELINE.json north star).
+
+Methodology mirrors the reference's standalone load generator
+(upmem/src/load_generator.c:96-105): populate tables, build random queries,
+run a warmed 100-iteration timed lookup loop.  The CPU baseline — torch
+EmbeddingBag on the host, the exact engine the reference offloads away from
+— provides vs_baseline (the reference publishes no DPU numbers,
+BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Extra detail goes to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from pim_embedding_lookup_tpu.config import MeshConfig, ShardingPolicy
+    from pim_embedding_lookup_tpu.parallel import EmbeddingCollection, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
+    policy = (
+        ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
+    )
+    coll = EmbeddingCollection.create(tables, mesh, policy)
+    log(f"layout: policy={coll.layout.policy} total_rows={coll.layout.total_rows}")
+    fused = coll.init(jax.random.PRNGKey(seed))
+    jax.block_until_ready(fused)
+
+    rng = np.random.default_rng(seed)
+    t = len(tables)
+    # several distinct query buffers so the loop isn't a single cached access
+    # pattern (load_generator.c regenerates per-run; 4 rotating buffers here)
+    nq = 4
+    queries = []
+    for q in range(nq):
+        idx = np.stack(
+            [rng.integers(0, tb.num_rows, size=(batch, pooling)) for tb in tables]
+        ).astype(np.int32)
+        queries.append(jax.device_put(jnp.asarray(idx)))
+    mask = jnp.ones((t, batch, pooling), dtype=bool)
+
+    lookup = jax.jit(lambda f, i, m: coll.lookup(f, i, m))
+    # warmup/compile
+    out = lookup(fused, queries[0], mask)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = lookup(fused, queries[i % nq], mask)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    lookups_per_s = batch * t / dt
+    dim = tables[0].dim
+    bytes_moved = batch * t * pooling * dim * 4 + batch * t * dim * 4
+    gbps = bytes_moved / dt / 1e9
+    log(f"tpu: {dt*1e6:.1f} us/iter, {lookups_per_s/1e6:.2f}M lookups/s, "
+        f"{gbps:.1f} GB/s pooled")
+    return lookups_per_s, gbps, dt
+
+
+def cpu_torch_rate(tables, batch, pooling, iters, seed=0):
+    """Host-CPU torch EmbeddingBag — the engine the reference's DPU path
+    replaces (dlrm_dpu_pytorch's apply_emb fallback, SURVEY.md §3.3)."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    torch.manual_seed(seed)
+    bags = [
+        torch.nn.EmbeddingBag(tb.num_rows, tb.dim, mode="sum", dtype=torch.float32)
+        for tb in tables
+    ]
+    rng = np.random.default_rng(seed)
+    idx = [
+        torch.from_numpy(
+            rng.integers(0, tb.num_rows, size=(batch, pooling)).astype(np.int64)
+        )
+        for tb in tables
+    ]
+    with torch.no_grad():
+        for b, i in zip(bags, idx):  # warmup
+            b(i)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for b, i in zip(bags, idx):
+                b(i)
+        dt = (time.perf_counter() - t0) / iters
+    rate = batch * len(tables) / dt
+    log(f"cpu torch: {dt*1e6:.1f} us/iter, {rate/1e6:.3f}M lookups/s")
+    return rate
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="kaggle", choices=["kaggle", "random", "toy"])
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--pooling", type=int, default=1,
+                    help="indices per bag (Criteo Kaggle is single-hot)")
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--cpu-iters", type=int, default=10)
+    ap.add_argument("--no-baseline", action="store_true")
+    args = ap.parse_args()
+
+    from pim_embedding_lookup_tpu.config import (
+        kaggle_config,
+        random_config,
+        toy_config,
+    )
+
+    cfg = {"kaggle": kaggle_config, "random": random_config, "toy": toy_config}[
+        args.config
+    ]()
+    tables = cfg.tables
+
+    lookups_per_s, gbps, dt = tpu_lookup_rate(
+        tables, args.batch, args.pooling, args.iters
+    )
+
+    vs_baseline = None
+    if not args.no_baseline:
+        cpu_rate = cpu_torch_rate(tables, args.batch, args.pooling, args.cpu_iters)
+        if cpu_rate:
+            vs_baseline = lookups_per_s / cpu_rate
+
+    print(
+        json.dumps(
+            {
+                "metric": f"criteo_{args.config}_pooled_lookups_per_s_per_chip",
+                "value": round(lookups_per_s, 1),
+                "unit": "lookups/s",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

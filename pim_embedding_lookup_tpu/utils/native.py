@@ -1,0 +1,120 @@
+"""ctypes bindings to the native feeder (native/feeder.cpp).
+
+The inverse of the reference's FFI direction: there, Python calls the native
+compute library (dputypes.py ctypes -> emblib.so lookup/populate_mram);
+here compute is JAX and the native library accelerates *data production*
+(query generation, Criteo parsing).  Falls back to numpy transparently when
+the .so hasn't been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_SEARCHED = (
+    os.environ.get("PEL_NATIVE_LIB", ""),
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "libpelfeeder.so"),
+    "libpelfeeder.so",
+)
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    for p in _SEARCHED:
+        if not p:
+            continue
+        try:
+            lib = ctypes.CDLL(p)
+        except OSError:
+            continue
+        lib.pel_gen_uniform.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.pel_gen_zipf.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.pel_gen_query.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+        ]
+        lib.pel_parse_criteo.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.pel_parse_criteo.restype = ctypes.c_int64
+        _LIB = lib
+        return lib
+    _LIB = False
+    return False
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def gen_query(
+    rows: np.ndarray,  # [T] int64 table cardinalities
+    batch: int,
+    pooling: int,
+    *,
+    distribution: str = "uniform",
+    alpha: float = 1.05,
+    seed: int = 0,
+    nthreads: int = 0,
+) -> np.ndarray:  # [T, B, L] int32
+    """Native multi-table query generation; numpy fallback otherwise."""
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    t = len(rows)
+    lib = _load()
+    if lib:
+        out = np.empty((t, batch, pooling), dtype=np.int32)
+        lib.pel_gen_query(
+            _i32p(out),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            t, batch, pooling,
+            1 if distribution == "zipf" else 0, alpha,
+            seed, nthreads or (os.cpu_count() or 1),
+        )
+        return out
+    rng = np.random.default_rng(seed)
+    if distribution == "zipf":
+        z = rng.zipf(alpha, size=(t, batch, pooling)) - 1
+        return np.minimum(z, rows[:, None, None] - 1).astype(np.int32)
+    return (
+        rng.random((t, batch, pooling)) * rows[:, None, None]
+    ).astype(np.int32)
+
+
+def parse_criteo_raw(
+    path: str, max_rows: int, hash_mod: int = 1 << 20
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Native Criteo train.txt parser -> (labels [N], dense [N,13] int32,
+    cat [N,26] int32) or None if the library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    labels = np.empty(max_rows, dtype=np.float32)
+    dense = np.empty((max_rows, 13), dtype=np.int32)
+    cat = np.empty((max_rows, 26), dtype=np.int32)
+    n = lib.pel_parse_criteo(
+        path.encode(), max_rows, hash_mod,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _i32p(dense), _i32p(cat),
+    )
+    if n < 0:
+        raise FileNotFoundError(path)
+    return labels[:n], dense[:n], cat[:n]

@@ -1,0 +1,145 @@
+"""Utils tests: native feeder, Criteo loaders, profiling CSV, checkpoint."""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pim_embedding_lookup_tpu.data.criteo import CriteoKaggle
+from pim_embedding_lookup_tpu.utils import (
+    IntervalRecorder,
+    PhaseTimer,
+    write_intervals_csv,
+)
+from pim_embedding_lookup_tpu.utils import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    so = os.path.join(REPO, "native", "libpelfeeder.so")
+    if not os.path.exists(so):
+        r = subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("no C++ toolchain")
+    if not native.available():
+        pytest.skip("native lib not loadable")
+    return so
+
+
+def test_native_uniform_bounds_and_determinism(native_lib):
+    rows = np.array([100, 5000], dtype=np.int64)
+    q1 = native.gen_query(rows, batch=64, pooling=8, seed=7)
+    q2 = native.gen_query(rows, batch=64, pooling=8, seed=7)
+    q3 = native.gen_query(rows, batch=64, pooling=8, seed=8)
+    assert q1.shape == (2, 64, 8) and q1.dtype == np.int32
+    np.testing.assert_array_equal(q1, q2)
+    assert not np.array_equal(q1, q3)
+    for t, n in enumerate(rows):
+        assert q1[t].min() >= 0 and q1[t].max() < n
+    # uniform should cover a healthy fraction of a small id space
+    assert len(np.unique(q1[0])) > 60
+
+
+def test_native_zipf_skew(native_lib):
+    rows = np.array([10000], dtype=np.int64)
+    q = native.gen_query(rows, batch=512, pooling=16, distribution="zipf",
+                         alpha=1.2, seed=3)
+    assert q.min() >= 0 and q.max() < 10000
+    # power-law: id 0 must dominate
+    counts = np.bincount(q.ravel(), minlength=10000)
+    assert counts[0] > counts[100:].max()
+    assert counts[:10].sum() > 0.3 * counts.sum()
+
+
+def test_native_criteo_parser(native_lib, tmp_path):
+    raw = tmp_path / "train.txt"
+    lines = [
+        "1\t5\t\t3" + "\t1" * 10 + "\t" + "\t".join(["0a1b2c3d"] * 26),
+        "0" + "\t2" * 13 + "\t" + "\t".join([""] * 26),
+    ]
+    raw.write_text("\n".join(lines) + "\n")
+    out = native.parse_criteo_raw(str(raw), max_rows=10)
+    assert out is not None
+    labels, dense, cat = out
+    assert len(labels) == 2
+    np.testing.assert_array_equal(labels, [1.0, 0.0])
+    assert dense[0, 0] == 5 and dense[0, 1] == 0 and dense[0, 2] == 3
+    assert dense[1, 0] == 2
+    assert cat[0, 0] == (0x0A1B2C3D % (1 << 20))
+    assert np.all(cat[1] == 0)
+
+
+def test_criteo_python_raw_parser(tmp_path):
+    raw = tmp_path / "train.txt"
+    lines = [
+        "1\t5\t\t3" + "\t1" * 10 + "\t" + "\t".join(["0a1b2c3d"] * 26),
+        "0" + "\t2" * 13 + "\t" + "\t".join(["ff"] * 26),
+    ]
+    raw.write_text("\n".join(lines) + "\n")
+    ds = CriteoKaggle.parse_raw(str(raw))
+    assert ds.x_int.shape == (2, 13)
+    assert ds.x_cat.shape == (2, 26)
+    assert abs(ds.x_int[0, 0] - np.log1p(5)) < 1e-6
+    batches = list(ds.batches(batch_size=2))
+    dense, idx, mask, labels = batches[0]
+    assert idx.shape == (26, 2, 1) and mask.all()
+
+
+def test_criteo_npz_roundtrip(tmp_path):
+    n = 50
+    rng = np.random.default_rng(0)
+    path = tmp_path / "proc.npz"
+    counts = np.array([10, 20, 30] + [5] * 23)
+    np.savez(
+        path,
+        X_int=rng.integers(0, 100, size=(n, 13)),
+        X_cat=rng.integers(0, 1000, size=(n, 26)),
+        y=rng.integers(0, 2, size=n),
+        counts=counts,
+    )
+    ds = CriteoKaggle.load_npz(str(path))
+    assert (ds.x_cat < counts[None, :]).all()
+    cfg = ds.dlrm_config(dim=8)
+    assert cfg.num_tables == 26 and cfg.tables[1].num_rows == 20
+    tr, te = ds.split()
+    assert len(tr.y) + len(te.y) == n
+
+
+def test_phase_timer_and_intervals(tmp_path):
+    pt = PhaseTimer()
+    x = jnp.arange(1000.0)
+    for _ in range(3):
+        with pt.phase("launch", sync=x):
+            y = (x * 2).sum()
+    rep = pt.report()
+    assert "launch" in rep and rep["launch"] > 0
+    rec = IntervalRecorder()
+    with rec.record(0, "lookup"):
+        pass
+    with rec.record(1, "lookup"):
+        pass
+    csv_path = str(tmp_path / "iv.csv")
+    write_intervals_csv(csv_path, rec.intervals)
+    text = open(csv_path).read()
+    assert "rank_id" in text and text.count("lookup") == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pim_embedding_lookup_tpu.utils import checkpoint
+
+    state = {
+        "emb": jnp.arange(12.0).reshape(3, 4),
+        "step": jnp.asarray(7),
+        "nested": {"w": jnp.ones((2, 2))},
+    }
+    p = str(tmp_path / "ckpt")
+    checkpoint.save(p, state)
+    restored = checkpoint.restore(p, state)
+    np.testing.assert_array_equal(np.asarray(restored["emb"]), np.asarray(state["emb"]))
+    assert int(restored["step"]) == 7
