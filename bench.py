@@ -51,12 +51,12 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
     queries = []
     for q in range(nq):
         idx = np.stack(
-            [rng.integers(0, tb.num_rows, size=(batch, pooling)) for tb in tables]
+            [rng.integers(0, tb.num_rows, size=batch * pooling) for tb in tables]
         ).astype(np.int32)
         queries.append(jax.device_put(jnp.asarray(idx)))
-    mask = jnp.ones((t, batch, pooling), dtype=bool)
+    mask = jnp.ones((t, batch * pooling), dtype=bool)
 
-    lookup = jax.jit(lambda f, i, m: coll.lookup(f, i, m))
+    lookup = jax.jit(lambda f, i, m: coll.lookup(f, i, m, batch_size=batch))
     # warmup/compile
     out = lookup(fused, queries[0], mask)
     jax.block_until_ready(out)

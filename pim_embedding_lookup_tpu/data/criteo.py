@@ -113,10 +113,11 @@ class CriteoKaggle:
         self, batch_size: int, *, shuffle: bool = False, seed: int = 0,
         drop_last: bool = True,
     ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-        """Yields (dense [B,13], indices [26,B,1], mask [26,B,1], labels [B]).
+        """Yields (dense [B,13], indices [26,B], mask [26,B], labels [B]).
 
-        Criteo is single-hot (L=1); batch shapes match the generic DLRM
-        query contract so kernels/tests are shared with synthetic data.
+        Criteo is single-hot (L=1), so the flat [T, B*L] query form is just
+        [26, B]; shapes match the generic DLRM query contract so
+        kernels/tests are shared with synthetic data.
         """
         n = len(self.y)
         order = np.arange(n)
@@ -125,7 +126,7 @@ class CriteoKaggle:
         stop = n - batch_size + 1 if drop_last else n
         for s in range(0, stop, batch_size):
             sel = order[s : s + batch_size]
-            idx = self.x_cat[sel].T[:, :, None]  # [26, B, 1]
+            idx = self.x_cat[sel].T  # [26, B]
             mask = np.ones_like(idx, dtype=bool)
             yield self.x_int[sel], idx.astype(np.int32), mask, self.y[sel]
 

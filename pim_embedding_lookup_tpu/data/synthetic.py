@@ -50,7 +50,8 @@ class QueryGenerator:
         raise ValueError(self.distribution)
 
     def next_query(self) -> tuple[np.ndarray, np.ndarray]:
-        """-> indices [T, B, L] int32, mask [T, B, L] bool."""
+        """-> indices [T, B*L] int32, mask [T, B*L] bool (flat (batch, slot)
+        order — the 2-D wire format of EmbeddingCollection.lookup)."""
         b, l = self.query.batch_size, self.query.max_indices_per_batch
         idx = np.stack(
             [self._draw_indices(t.num_rows, (b, l)) for t in self.tables]
@@ -60,7 +61,7 @@ class QueryGenerator:
         else:
             lengths = self._rng.integers(1, l + 1, size=(self._t, b))
             mask = np.arange(l)[None, None, :] < lengths[..., None]
-        return idx, mask
+        return idx.reshape(self._t, b * l), mask.reshape(self._t, b * l)
 
     def queries(self, n: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         for _ in range(n):

@@ -79,9 +79,10 @@ def interact_dot(bot_out: jax.Array, pooled: jax.Array, *, self_interaction: boo
 class DLRM:
     """DLRM over a sharded embedding collection.
 
-    Query format: indices [T, B, L] (per-table local row ids) + mask
-    [T, B, L] — the padded multi-hot contract of the reference
-    (MAX_INDICES_PER_BATCH, emb_host.h:30).
+    Query format: indices [T, B*L] (per-table local row ids, flat over
+    (batch, slot)) + mask [T, B*L] — the padded multi-hot contract of the
+    reference (MAX_INDICES_PER_BATCH, emb_host.h:30), kept 2-D so TPU tile
+    layouts stay compact (see parallel/collection.py docstring).
     """
 
     def __init__(
@@ -104,26 +105,45 @@ class DLRM:
 
     def init(self, key: jax.Array) -> Params:
         k_emb, k_bot, k_top = jax.random.split(key, 3)
-        return {
-            "emb": self.collection.init(k_emb),
+        # dense params live replicated on the mesh (DP over the data axis);
+        # explicit placement keeps device sets consistent with the sharded
+        # embedding after checkpoint restore.
+        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+        dense_params = {
             "bot": _init_mlp(k_bot, [self.config.dense_dim, *self.config.mlp_bot]),
             "top": _init_mlp(k_top, [self._top_in, *self.config.mlp_top]),
         }
+        dense_params = jax.device_put(dense_params, rep)
+        return {"emb": self.collection.init(k_emb), **dense_params}
 
-    def apply(
+    def apply_from_pooled(
         self,
         params: Params,
-        dense: jax.Array,  # [B, dense_dim] float
-        indices: jax.Array,  # [T, B, L] int32
-        mask: jax.Array,  # [T, B, L] bool
+        dense: jax.Array,  # [B, dense_dim]
+        pooled: jax.Array,  # [B, T, D] pooled embedding vectors
     ) -> jax.Array:  # [B] logits
+        """Dense half only (bot MLP -> interaction -> top MLP).  Exposed as a
+        separate stage so the sparse training path can differentiate the
+        dense tower w.r.t. pooled vectors without densifying table grads
+        (models/sparse_train.py)."""
         bot_out = _apply_mlp(params["bot"], dense, sigmoid_last=False)
-        pooled = self.collection.lookup(params["emb"], indices, mask)  # [B, T, D]
         zi = interact_dot(
             bot_out, pooled, self_interaction=self.config.interact_itself
         )
         logits = _apply_mlp(params["top"], zi, sigmoid_last=True)
         return logits[:, 0]
+
+    def apply(
+        self,
+        params: Params,
+        dense: jax.Array,  # [B, dense_dim] float
+        indices: jax.Array,  # [T, B*L] int32 (flat (batch, slot) per table)
+        mask: jax.Array,  # [T, B*L] bool
+    ) -> jax.Array:  # [B] logits
+        pooled = self.collection.lookup(
+            params["emb"], indices, mask, batch_size=dense.shape[0]
+        )  # [B, T, D]
+        return self.apply_from_pooled(params, dense, pooled)
 
     def predict(self, params, dense, indices, mask) -> jax.Array:
         """Click probabilities (the reference harness's sigmoid output)."""

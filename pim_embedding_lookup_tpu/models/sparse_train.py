@@ -1,0 +1,82 @@
+"""Memory-efficient training: dense tower via optax, embedding half via
+fused sparse scatter-update (parallel/sparse_update.py).
+
+The default train step (train.py) differentiates through the lookup, which
+makes XLA materialize a dense [total_rows, D] embedding cotangent.  This
+step instead:
+
+  1. runs the lookup forward,
+  2. differentiates only the dense tower w.r.t. (dense params, pooled),
+  3. applies d(loss)/d(pooled) straight into the sharded table with a
+     scatter-add optimizer step (SGD or row-wise AdaGrad),
+
+so peak memory stays O(table + batch) and the update cost is O(entries) —
+the property that makes 100M-row tables trainable (BASELINE.json synthetic
+big-table config).  The fused table is donated through the jit boundary, so
+the update happens in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.sparse_update import init_accumulator, sparse_update
+from .dlrm import DLRM, bce_loss
+
+
+def make_sparse_train_state(
+    model: DLRM, params, *, optimizer: str = "sgd", lr: float = 0.1,
+    dense_optimizer: optax.GradientTransformation | None = None,
+):
+    """Returns (dense_opt, opt_state, acc).  ``params`` stays the single
+    source of truth; emb is updated sparsely, bot/top via optax."""
+    dense_opt = dense_optimizer or optax.sgd(lr)
+    dense_params = {k: params[k] for k in ("bot", "top")}
+    opt_state = dense_opt.init(dense_params)
+    acc = init_accumulator(model.collection) if optimizer == "row_adagrad" else (
+        init_accumulator(model.collection)  # zeros; unused for sgd but keeps
+    )                                        # the step signature uniform
+    return dense_opt, opt_state, acc
+
+
+def make_sparse_train_step(
+    model: DLRM,
+    dense_opt: optax.GradientTransformation,
+    *,
+    lr: float = 0.1,
+    optimizer: str = "sgd",  # embedding optimizer: "sgd" | "row_adagrad"
+    eps: float = 1e-8,
+) -> Callable:
+    coll = model.collection
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(emb, acc, dense_params, opt_state, dense, indices, mask, labels):
+        pooled = coll.lookup(
+            emb, indices, mask, batch_size=dense.shape[0]
+        )  # [B, T, D]
+
+        def loss_fn(dp, pooled_in):
+            logits = model.apply_from_pooled(
+                {**dp, "emb": None}, dense, pooled_in
+            )
+            return bce_loss(logits, labels)
+
+        (loss), (g_dense, g_pooled) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1)
+        )(dense_params, pooled)
+
+        updates, opt_state = dense_opt.update(g_dense, opt_state, dense_params)
+        dense_params = optax.apply_updates(dense_params, updates)
+
+        emb, acc = sparse_update(
+            coll, emb, acc, indices, mask, g_pooled,
+            lr=lr, optimizer=optimizer, eps=eps,
+        )
+        return emb, acc, dense_params, opt_state, loss
+
+    return train_step

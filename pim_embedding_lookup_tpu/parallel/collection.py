@@ -18,9 +18,17 @@ indices, launches, and merges per-column int32 results via post_process):
     186-222)                                   TABLE_WISE) or dim-concat
                                                all-gather (COLUMN)
 
-Queries use the dense padded form [T, B, L] + mask — the same contract as
-the reference's MAX_INDICES_PER_BATCH padding (emb_host.h:30,258-263) — so
-batches shard cleanly and XLA sees fully static shapes.
+Queries use the dense padded form: indices and mask of shape [T, B*L]
+(B*L entries per table, row-major over (batch, slot)) — the same contract
+as the reference's MAX_INDICES_PER_BATCH padding (emb_host.h:30,258-263) —
+so batches shard cleanly and XLA sees fully static shapes.
+
+Why 2-D and not [T, B, L]: TPU arrays tile their last two dims to (8, 128)
+sublanes x lanes; a trailing L=1 dim physically inflates the buffer 128x in
+HBM (measured: a trivial elementwise add on [26, 8192, 1] int32 cost 1.5ms
+— more than the entire 33M-row gather).  The flat [T, B*L] form stays
+compact at the jit boundary; kernels reshape internally where XLA fuses it
+away.
 """
 
 from __future__ import annotations
@@ -113,27 +121,38 @@ class EmbeddingCollection:
     # -- query globalization ------------------------------------------------
 
     def globalize(self, indices: jax.Array) -> jax.Array:
-        """Per-table local ids [T, B, L] -> fused row ids."""
+        """Per-table local ids [T, C] -> fused row ids."""
         offs = jnp.asarray(self.layout.row_offsets, dtype=indices.dtype)
-        return indices + offs[:, None, None]
+        return indices + offs[:, None]
 
     # -- lookup -------------------------------------------------------------
 
     def lookup(
-        self, fused_table: jax.Array, indices: jax.Array, mask: jax.Array
+        self,
+        fused_table: jax.Array,
+        indices: jax.Array,
+        mask: jax.Array,
+        *,
+        batch_size: int | None = None,
     ) -> jax.Array:
         """Pooled SUM lookup.
 
-        indices: [T, B, L] per-table row ids (local, not fused);
-        mask:    [T, B, L] validity;
+        indices: [T, B*L] per-table row ids (local, not fused);
+        mask:    [T, B*L] validity;
+        batch_size: B (default: infer L=1, B = C);
         returns  [B, T, D] pooled vectors (the reference's final_results
         layout after post_process's col->row transpose, emb_host.h:207-212).
         """
+        t, c = indices.shape
+        b = batch_size if batch_size is not None else c
+        if c % b:
+            raise ValueError(f"capacity {c} not divisible by batch {b}")
         g_idx = self.globalize(indices)
         return _lookup_dispatch(
             self.mesh,
             self.layout.policy,
             self.layout.rows_per_shard,
+            c // b,
             fused_table,
             g_idx,
             mask,
@@ -141,26 +160,26 @@ class EmbeddingCollection:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard")
+    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "pooling")
 )
-def _lookup_dispatch(mesh, policy, rows_per_shard, fused_table, g_idx, mask):
+def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, mask):
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            _local_pooled_lookup,
+            functools.partial(_local_pooled_lookup, pooling),
             mesh=mesh,
-            in_specs=(P(), P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),
+            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
             out_specs=P(DATA_AXIS, None, None),
         )
         return fn(fused_table, g_idx, mask)
 
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            _local_pooled_lookup,
+            functools.partial(_local_pooled_lookup, pooling),
             mesh=mesh,
             in_specs=(
                 P(None, MODEL_AXIS),
-                P(None, DATA_AXIS, None),
-                P(None, DATA_AXIS, None),
+                P(None, DATA_AXIS),
+                P(None, DATA_AXIS),
             ),
             # output dim stays sharded over model — downstream ops decide
             # when/if to all-gather (XLA inserts it lazily on use).
@@ -170,34 +189,38 @@ def _lookup_dispatch(mesh, policy, rows_per_shard, fused_table, g_idx, mask):
 
     # ROW / TABLE_WISE: ownership-masked local pool + psum merge — the
     # reduce-scatter/all-reduce replacing the host-side post_process merge.
-    local = functools.partial(_rowshard_pooled_lookup, rows_per_shard)
+    local = functools.partial(_rowshard_pooled_lookup, rows_per_shard, pooling)
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(MODEL_AXIS, None),
-            P(None, DATA_AXIS, None),
-            P(None, DATA_AXIS, None),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
         ),
         out_specs=P(DATA_AXIS, None, None),
     )
     return fn(fused_table, g_idx, mask)
 
 
-def _local_pooled_lookup(table, g_idx, mask):
-    """[rows, D], [T, Bs, L], [T, Bs, L] -> [Bs, T, D] dense gather+pool."""
-    rows = jnp.take(table, g_idx, axis=0)  # [T, Bs, L, D]
-    pooled = jnp.sum(rows * mask[..., None].astype(rows.dtype), axis=2)
+def _local_pooled_lookup(pooling, table, g_idx, mask):
+    """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool."""
+    t, c = g_idx.shape
+    rows = jnp.take(table, g_idx, axis=0)  # [T, Bs*L, D]
+    rows = rows * mask[..., None].astype(rows.dtype)
+    pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     return jnp.transpose(pooled, (1, 0, 2))
 
 
-def _rowshard_pooled_lookup(rows_per_shard, table_shard, g_idx, mask):
+def _rowshard_pooled_lookup(rows_per_shard, pooling, table_shard, g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
     start = shard * rows_per_shard
     local = g_idx - start
     owned = (local >= 0) & (local < rows_per_shard) & mask
     local = jnp.where(owned, local, 0)
-    rows = jnp.take(table_shard, local, axis=0)  # [T, Bs, L, D]
-    pooled = jnp.sum(rows * owned[..., None].astype(rows.dtype), axis=2)
+    t, c = g_idx.shape
+    rows = jnp.take(table_shard, local, axis=0)  # [T, Bs*L, D]
+    rows = rows * owned[..., None].astype(rows.dtype)
+    pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     pooled = jnp.transpose(pooled, (1, 0, 2))
     return jax.lax.psum(pooled, MODEL_AXIS)

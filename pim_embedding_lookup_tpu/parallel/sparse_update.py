@@ -1,0 +1,167 @@
+"""Sparse in-place embedding updates: scatter-add directly into the sharded
+fused table, never materializing a dense gradient buffer.
+
+SURVEY.md §7 hard part (a): the naive backward produces a dense
+[total_rows, D] cotangent (2.2GB for Criteo-Kaggle, 100s of GB for the
+big-table configs) even though only batch*T*L rows were touched.  Here the
+optimizer step for the embedding half is fused into a shard_map scatter:
+
+  * entries (id, pooled-cotangent) are all-gathered over the *data* axis
+    (they are tiny: C x (4B + D*4B)) so every model shard sees the full
+    update stream — the TPU analog of the reference broadcasting indices to
+    all of a table's DPUs (emb_host.h:258-263);
+  * each model shard applies only the updates it owns (ownership mask for
+    ROW/TABLE_WISE, dim slice for COLUMN), via an XLA scatter-add with
+    out-of-bounds drop semantics;
+  * supported optimizers: plain SGD and row-wise AdaGrad (per-row scalar
+    accumulator — the standard memory-efficient choice for embedding
+    tables).
+
+The input/output fused table aliases through donate_argnums at the jit
+boundary above (models/sparse_train.py), so the update is in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ShardingPolicy
+from .collection import EmbeddingCollection
+from .mesh import DATA_AXIS, MODEL_AXIS
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def _entry_updates(g_idx, mask, g_pooled, pooling):
+    """Flatten [T, B*L] entries -> (C, D) update rows + (C,) target ids.
+
+    g_pooled [B, T, D] is d(loss)/d(pooled); each entry (t, b, l) with
+    mask set receives the full bag cotangent (sum-pool backward).
+    """
+    t, c = g_idx.shape
+    b = c // pooling
+    d = g_pooled.shape[-1]
+    g_e = jnp.transpose(g_pooled, (1, 0, 2))[:, :, None, :]  # [T, B, 1, D]
+    g_e = jnp.broadcast_to(g_e, (t, b, pooling, d)).reshape(t, c, d)
+    g_e = g_e * mask[..., None].astype(g_e.dtype)
+    return g_idx.reshape(-1), g_e.reshape(t * c, d), mask.reshape(-1)
+
+
+def _apply_local(
+    emb_shard,
+    acc_shard,
+    g_idx,
+    mask,
+    g_pooled,
+    *,
+    pooling: int,
+    rows_per_shard: int,
+    row_offset_from_axis: bool,
+    lr: float,
+    eps: float,
+    use_adagrad: bool,
+    psum_sq_over_model: bool,
+):
+    ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
+    if row_offset_from_axis:
+        start = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
+        local = ids - start
+    else:
+        local = ids
+    oob = rows_per_shard  # scatter mode=drop discards out-of-range rows
+    local = jnp.where(
+        (local >= 0) & (local < rows_per_shard) & valid, local, oob
+    )
+    if use_adagrad:
+        # row-wise adagrad: acc[r] += mean_d(g^2); step = lr/sqrt(acc+eps)
+        sq = jnp.mean(updates * updates, axis=-1, keepdims=True)  # [C, 1]
+        if psum_sq_over_model:
+            sq = jax.lax.psum(sq, MODEL_AXIS) / jax.lax.psum(
+                jnp.ones((), sq.dtype), MODEL_AXIS
+            )
+        acc_shard = acc_shard.at[local].add(sq, mode="drop")
+        rows_acc = jnp.take(acc_shard, jnp.minimum(local, rows_per_shard - 1),
+                            axis=0)
+        scale = lr * jax.lax.rsqrt(rows_acc + eps)  # [C, 1]
+        emb_shard = emb_shard.at[local].add(-scale * updates, mode="drop")
+    else:
+        emb_shard = emb_shard.at[local].add(-lr * updates, mode="drop")
+    return emb_shard, acc_shard
+
+
+def _gather_entries_over_data(g_idx, mask, g_pooled):
+    g_idx = jax.lax.all_gather(g_idx, DATA_AXIS, axis=1, tiled=True)  # [T, C]
+    mask = jax.lax.all_gather(mask, DATA_AXIS, axis=1, tiled=True)
+    g_pooled = jax.lax.all_gather(g_pooled, DATA_AXIS, axis=0, tiled=True)
+    return g_idx, mask, g_pooled
+
+
+def sparse_update(
+    coll: EmbeddingCollection,
+    fused: jax.Array,
+    acc: jax.Array,  # [total_rows(, shard dim slice), 1] adagrad accumulator
+    indices: jax.Array,  # [T, B*L] local (per-table) ids
+    mask: jax.Array,  # [T, B*L]
+    g_pooled: jax.Array,  # [B, T, D]
+    *,
+    lr: float,
+    optimizer: str = "sgd",  # "sgd" | "row_adagrad"
+    eps: float = 1e-8,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-apply the embedding optimizer step.  Returns (fused, acc)."""
+    policy = coll.layout.policy
+    pooling = indices.shape[1] // g_pooled.shape[0]
+    g_idx = coll.globalize(indices)
+    use_adagrad = optimizer == "row_adagrad"
+    mesh = coll.mesh
+    rps = coll.layout.rows_per_shard
+    column = policy == ShardingPolicy.COLUMN
+    rowish = policy in (ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE)
+
+    emb_spec = (
+        P(None, MODEL_AXIS) if column
+        else P(MODEL_AXIS, None) if rowish
+        else P()
+    )
+    acc_spec = P(MODEL_AXIS, None) if rowish else P()
+    g_spec = P(DATA_AXIS, None, MODEL_AXIS) if column else P(DATA_AXIS, None, None)
+
+    def fn(emb_shard, acc_shard, g_idx_s, mask_s, g_s):
+        g_idx_g, mask_g, g_g = _gather_entries_over_data(g_idx_s, mask_s, g_s)
+        return _apply_local(
+            emb_shard, acc_shard, g_idx_g, mask_g, g_g,
+            pooling=pooling,
+            rows_per_shard=rps if rowish else coll.layout.total_rows,
+            row_offset_from_axis=rowish,
+            lr=lr, eps=eps, use_adagrad=use_adagrad,
+            psum_sq_over_model=column and use_adagrad,
+        )
+
+    fused, acc = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            emb_spec,
+            acc_spec,
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+            g_spec,
+        ),
+        out_specs=(emb_spec, acc_spec),
+        check_vma=False,  # model-shard outputs are identical by construction
+    )(fused, acc, g_idx, mask, g_pooled)
+    return fused, acc
+
+
+def init_accumulator(coll: EmbeddingCollection) -> jax.Array:
+    """Row-wise adagrad accumulator, sharded like the table rows."""
+    rowish = coll.layout.policy in (ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE)
+    spec = P(MODEL_AXIS, None) if rowish else P()
+    sharding = jax.sharding.NamedSharding(coll.mesh, spec)
+    return jax.jit(
+        lambda: jnp.zeros((coll.layout.total_rows, 1), jnp.float32),
+        out_shardings=sharding,
+    )()

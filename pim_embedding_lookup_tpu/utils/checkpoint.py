@@ -34,4 +34,11 @@ def restore(path: str, template: Any) -> Any:
         else x,
         template,
     )
-    return ckptr.restore(path, abstract)
+    restored = ckptr.restore(path, abstract)
+    # re-pin every leaf to the template's sharding so device sets stay
+    # consistent (orbax restores unsharded leaves committed to one device)
+    def repin(r, t):
+        sh = getattr(t, "sharding", None)
+        return jax.device_put(r, sh) if sh is not None else r
+
+    return jax.tree.map(repin, restored, template)

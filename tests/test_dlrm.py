@@ -87,13 +87,15 @@ def test_forward_vs_numpy(mesh, rng):
     b, l = 16, 4
     dense = rng.standard_normal((b, config.dense_dim)).astype(np.float32)
     gen = QueryGenerator(config.tables, QueryConfig(b, l), seed=1, fixed_length=False)
-    idx, mask = gen.next_query()
+    idx, mask = gen.next_query()  # [T, B*L]
     logits = np.asarray(
         model.apply(params, jnp.asarray(dense), jnp.asarray(idx), jnp.asarray(mask))
     )
     host_params = jax.tree.map(np.asarray, params)
+    t = len(config.tables)
     expected = numpy_forward(
-        host_params, config, dense, idx, mask, model.collection.layout
+        host_params, config, dense,
+        idx.reshape(t, b, l), mask.reshape(t, b, l), model.collection.layout,
     )
     np.testing.assert_allclose(logits, expected, rtol=2e-4, atol=2e-4)
 
@@ -153,10 +155,11 @@ def test_training_learns(mesh):
         idx = np.stack(
             [rng.integers(0, t.num_rows, size=(b, l)) for t in config.tables]
         ).astype(np.int32)
-        mask = np.ones((len(config.tables), b, l), bool)
+        nt = len(config.tables)
+        mask = np.ones((nt, b * l), bool)
         # learnable signal: label = whether table0's first index is even
         labels = (idx[0, :, 0] % 2 == 0).astype(np.float32)
-        return dense, idx, mask, labels
+        return dense, idx.reshape(nt, b * l), mask, labels
 
     losses = []
     for _ in range(150):

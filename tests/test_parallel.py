@@ -22,11 +22,13 @@ TABLES = (
 
 
 def make_query(rng, tables, b, l):
+    """Returns flat [T, B*L] device queries + the 3-D views for oracles."""
     idx = np.stack(
         [rng.integers(0, t.num_rows, size=(b, l)) for t in tables]
     ).astype(np.int32)
     mask = rng.random((len(tables), b, l)) < 0.7
-    return jnp.asarray(idx), jnp.asarray(mask)
+    t = len(tables)
+    return jnp.asarray(idx.reshape(t, b * l)), jnp.asarray(mask.reshape(t, b * l)), idx, mask
 
 
 def oracle_pooled(tables_np, idx, mask):
@@ -66,9 +68,9 @@ def test_lookup_all_policies(mesh, rng, policy):
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32) for t in tables
     ]
     fused = coll.device_put_tables(tables_np)
-    idx, mask = make_query(rng, tables, b=16, l=5)
-    out = coll.lookup(fused, idx, mask)
-    expected = oracle_pooled(tables_np, np.asarray(idx), np.asarray(mask))
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
+    out = coll.lookup(fused, idx, mask, batch_size=16)
+    expected = oracle_pooled(tables_np, idx3, mask3)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
 
 
@@ -93,21 +95,21 @@ def test_lookup_grad_distributed(mesh, rng):
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32) for t in tables
     ]
     fused = coll.device_put_tables(tables_np)
-    idx, mask = make_query(rng, tables, b=8, l=3)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=8, l=3)
     g = jnp.asarray(rng.standard_normal((8, len(tables), 16)).astype(np.float32))
 
     def loss(f):
-        return jnp.sum(coll.lookup(f, idx, mask) * g)
+        return jnp.sum(coll.lookup(f, idx, mask, batch_size=8) * g)
 
     dfused = np.asarray(jax.grad(loss)(fused))
     # oracle scatter-add
     expected = np.zeros_like(dfused)
-    idx_np, mask_np, g_np = np.asarray(idx), np.asarray(mask), np.asarray(g)
+    g_np = np.asarray(g)
     for ti, off in enumerate(coll.layout.row_offsets):
         for bi in range(8):
             for li in range(3):
-                if mask_np[ti, bi, li]:
-                    expected[off + idx_np[ti, bi, li]] += g_np[bi, ti]
+                if mask3[ti, bi, li]:
+                    expected[off + idx3[ti, bi, li]] += g_np[bi, ti]
     np.testing.assert_allclose(dfused, expected, rtol=1e-4, atol=1e-4)
 
 
@@ -139,10 +141,10 @@ def test_batch_data_parallel_consistency(rng):
     tables_np = [
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32) for t in tables
     ]
-    idx, mask = make_query(rng, tables, b=16, l=4)
+    idx, mask, _, _ = make_query(rng, tables, b=16, l=4)
     outs = []
     for mesh in (mesh_m, mesh_dm):
         coll = EmbeddingCollection.create(tables, mesh, ShardingPolicy.ROW)
         fused = coll.device_put_tables(tables_np)
-        outs.append(np.asarray(coll.lookup(fused, idx, mask)))
+        outs.append(np.asarray(coll.lookup(fused, idx, mask, batch_size=16)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)

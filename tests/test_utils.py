@@ -88,7 +88,7 @@ def test_criteo_python_raw_parser(tmp_path):
     assert abs(ds.x_int[0, 0] - np.log1p(5)) < 1e-6
     batches = list(ds.batches(batch_size=2))
     dense, idx, mask, labels = batches[0]
-    assert idx.shape == (26, 2, 1) and mask.all()
+    assert idx.shape == (26, 2) and mask.all()
 
 
 def test_criteo_npz_roundtrip(tmp_path):
