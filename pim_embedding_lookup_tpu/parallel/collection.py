@@ -88,23 +88,39 @@ class EmbeddingCollection:
         (SURVEY.md §3.3).  jit with out_shardings creates each shard on its
         owning device: the analog of populate_mram's per-DPU pushes without
         ever materialising the full table on one host.
+
+        The per-row scale is computed in-kernel from tiny [T] constants
+        (searchsorted over table end-rows) — never materialize a
+        [total_rows, 1] array: trailing-dim-1 buffers relayout
+        catastrophically on TPU (measured: one such array degrades every
+        subsequent HBM gather in the process ~150x).
         """
-        lo = self._row_scale_bounds(dtype)
+        ends, scales = self._sorted_table_ends()
 
         def make(k):
             u = jax.random.uniform(
                 k, (self.layout.total_rows, self.layout.dim), dtype, -1.0, 1.0
             )
-            return u * lo
+            row = jnp.arange(self.layout.total_rows, dtype=jnp.int32)
+            tid = jnp.searchsorted(jnp.asarray(ends), row, side="right")
+            scale = jnp.take(
+                jnp.asarray(scales, dtype=dtype),
+                jnp.minimum(tid, len(self.layout.table_rows) - 1),
+            )
+            return u * scale[:, None]
 
         return jax.jit(make, out_shardings=self.table_sharding)(key)
 
-    def _row_scale_bounds(self, dtype) -> jax.Array:
-        """Per-fused-row init scale: 1/sqrt(num_rows of the owning table)."""
-        scale = np.zeros((self.layout.total_rows, 1), dtype=np.float32)
-        for off, rows in zip(self.layout.row_offsets, self.layout.table_rows):
-            scale[off : off + rows] = 1.0 / np.sqrt(rows)
-        return jnp.asarray(scale, dtype=dtype)
+    def _sorted_table_ends(self) -> tuple[np.ndarray, np.ndarray]:
+        """(end_row, 1/sqrt(rows)) per table, sorted by fused offset (the
+        TABLE_WISE bin-packed layout is not offset-ordered by table id)."""
+        pairs = sorted(
+            (off + rows, 1.0 / np.sqrt(rows))
+            for off, rows in zip(self.layout.row_offsets, self.layout.table_rows)
+        )
+        ends = np.asarray([p[0] for p in pairs], dtype=np.int32)
+        scales = np.asarray([p[1] for p in pairs], dtype=np.float32)
+        return ends, scales
 
     def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> jax.Array:
         """Load pre-existing per-table weights (populate_mram parity path,

@@ -76,17 +76,18 @@ def _apply_local(
         (local >= 0) & (local < rows_per_shard) & valid, local, oob
     )
     if use_adagrad:
-        # row-wise adagrad: acc[r] += mean_d(g^2); step = lr/sqrt(acc+eps)
-        sq = jnp.mean(updates * updates, axis=-1, keepdims=True)  # [C, 1]
+        # row-wise adagrad: acc[r] += mean_d(g^2); step = lr/sqrt(acc+eps).
+        # acc is 1-D [rows] — a [rows, 1] buffer would relayout
+        # catastrophically on TPU (see EmbeddingCollection.init docstring).
+        sq = jnp.mean(updates * updates, axis=-1)  # [C]
         if psum_sq_over_model:
             sq = jax.lax.psum(sq, MODEL_AXIS) / jax.lax.psum(
                 jnp.ones((), sq.dtype), MODEL_AXIS
             )
         acc_shard = acc_shard.at[local].add(sq, mode="drop")
-        rows_acc = jnp.take(acc_shard, jnp.minimum(local, rows_per_shard - 1),
-                            axis=0)
-        scale = lr * jax.lax.rsqrt(rows_acc + eps)  # [C, 1]
-        emb_shard = emb_shard.at[local].add(-scale * updates, mode="drop")
+        rows_acc = jnp.take(acc_shard, jnp.minimum(local, rows_per_shard - 1))
+        scale = lr * jax.lax.rsqrt(rows_acc + eps)  # [C]
+        emb_shard = emb_shard.at[local].add(-scale[:, None] * updates, mode="drop")
     else:
         emb_shard = emb_shard.at[local].add(-lr * updates, mode="drop")
     return emb_shard, acc_shard
@@ -126,7 +127,7 @@ def sparse_update(
         else P(MODEL_AXIS, None) if rowish
         else P()
     )
-    acc_spec = P(MODEL_AXIS, None) if rowish else P()
+    acc_spec = P(MODEL_AXIS) if rowish else P()  # acc is 1-D [rows]
     g_spec = P(DATA_AXIS, None, MODEL_AXIS) if column else P(DATA_AXIS, None, None)
 
     def fn(emb_shard, acc_shard, g_idx_s, mask_s, g_s):
@@ -157,11 +158,11 @@ def sparse_update(
 
 
 def init_accumulator(coll: EmbeddingCollection) -> jax.Array:
-    """Row-wise adagrad accumulator, sharded like the table rows."""
+    """Row-wise adagrad accumulator (1-D [rows]), sharded like table rows."""
     rowish = coll.layout.policy in (ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE)
-    spec = P(MODEL_AXIS, None) if rowish else P()
+    spec = P(MODEL_AXIS) if rowish else P()
     sharding = jax.sharding.NamedSharding(coll.mesh, spec)
     return jax.jit(
-        lambda: jnp.zeros((coll.layout.total_rows, 1), jnp.float32),
+        lambda: jnp.zeros((coll.layout.total_rows,), jnp.float32),
         out_shardings=sharding,
     )()

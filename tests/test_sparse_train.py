@@ -132,7 +132,7 @@ def test_row_adagrad_update(mesh):
             for li in range(l):
                 r = off + idx_np[ti, bi, li]
                 ge = g_np[bi, ti]
-                exp_acc[r, 0] += np.mean(ge * ge)
+                exp_acc[r] += np.mean(ge * ge)
                 entries.append((r, ge))
                 touched.add(r)
     np.testing.assert_allclose(acc_np, exp_acc, rtol=1e-5, atol=1e-7)
@@ -142,7 +142,7 @@ def test_row_adagrad_update(mesh):
     # touched rows: sum of -lr*rsqrt(acc_final+eps)*g contributions
     exp = fused0_np.copy()
     for r, ge in entries:
-        exp[r] -= lr * ge / np.sqrt(exp_acc[r, 0] + eps)
+        exp[r] -= lr * ge / np.sqrt(exp_acc[r] + eps)
     np.testing.assert_allclose(fused_np, exp, rtol=1e-4, atol=1e-5)
 
 
