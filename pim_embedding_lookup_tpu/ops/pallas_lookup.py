@@ -78,6 +78,71 @@ def _make_kernel(tile_b: int, nbuf: int):
     return kernel
 
 
+def _make_packed_kernel(tile_b: int, nbuf: int, pack: int, d: int):
+    """Lane-packed variant for d < 128: the table is stored as
+    [ceil(N/pack), 128] with ``pack = 128 // d`` consecutive rows per
+    128-lane vector (the TPU mirror of the reference's 8-byte read-pair
+    trick, emb_dpu_lookup.c:112-114: MRAM reads are 8B-aligned so the DPU
+    fetches two 4B values and selects read_buff[ind%2]).  Each entry DMAs
+    one packed [1, 128] vector, masks the owning lane group, and
+    accumulates; the caller unpacks by summing lane groups.
+    """
+
+    def kernel(idx_ref, off_ref, seg_ref, table_ref, out_ref, acc, rowbuf, sems):
+        t = pl.program_id(0)
+        b0 = t * tile_b
+        start = off_ref[b0]
+        end = off_ref[b0 + tile_b]
+        acc[:] = jnp.zeros_like(acc)
+        lane_group = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // d
+
+        def row_dma(i, slot):
+            return pltpu.make_async_copy(
+                table_ref.at[pl.ds(idx_ref[i] // pack, 1), :],
+                rowbuf.at[slot],
+                sems.at[slot],
+            )
+
+        def warm(j, _):
+            @pl.when(start + j < end)
+            def _():
+                row_dma(start + j, j % nbuf).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, nbuf, warm, 0)
+
+        def body(i, _):
+            slot = jax.lax.rem(i - start, nbuf)
+            row_dma(i, slot).wait()
+            grp = jax.lax.rem(idx_ref[i], pack)
+            b = seg_ref[i] - b0
+            sel = (lane_group == grp).astype(jnp.float32)
+            acc[pl.ds(b, 1), :] += rowbuf[slot] * sel
+
+            @pl.when(i + nbuf < end)
+            def _():
+                row_dma(i + nbuf, slot).start()
+
+            return 0
+
+        jax.lax.fori_loop(start, end, body, 0, unroll=False)
+        out_ref[:] = acc[:]
+
+    return kernel
+
+
+def pack_table_lanes(table: jax.Array) -> jax.Array:
+    """[N, D] -> [ceil(N/pack), 128] lane-packed storage (D must divide 128).
+    Do this ONCE at table-init time for the packed pallas path — it is a
+    full-table copy."""
+    n, d = table.shape
+    pack = 128 // d
+    npad = -(-n // pack) * pack
+    padded = jnp.pad(table, ((0, npad - n), (0, 0)))
+    return padded.reshape(npad // pack, 128)
+
+
 def _pallas_sum_csr(
     table: jax.Array,  # [N, D] float
     indices: jax.Array,  # [C] int32
@@ -90,25 +155,39 @@ def _pallas_sum_csr(
 ) -> jax.Array:  # [padded_batch, D]
     d = table.shape[1]
     grid = (padded_batch // tile_b,)
-    kernel = _make_kernel(tile_b, nbuf)
+    if d % 128 == 0:
+        kernel = _make_kernel(tile_b, nbuf)
+        table_in = table.astype(jnp.float32)
+        out_d = d
+    elif 128 % d == 0:
+        pack = 128 // d
+        kernel = _make_packed_kernel(tile_b, nbuf, pack, d)
+        table_in = pack_table_lanes(table.astype(jnp.float32))
+        out_d = 128
+    else:
+        raise NotImplementedError(f"pallas path needs d%128==0 or 128%d==0, got {d}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # indices, offsets, seg_ids
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table stays in HBM
         out_specs=pl.BlockSpec(
-            (tile_b, d), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            (tile_b, out_d), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_b, d), jnp.float32),  # acc
-            pltpu.VMEM((nbuf, 1, d), jnp.float32),  # row landing buffers
+            pltpu.VMEM((tile_b, out_d), jnp.float32),  # acc
+            pltpu.VMEM((nbuf, 1, out_d), jnp.float32),  # row landing buffers
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((padded_batch, d), jnp.float32),
-    )(indices, offsets, seg_ids, table.astype(jnp.float32))
+        out_shape=jax.ShapeDtypeStruct((padded_batch, out_d), jnp.float32),
+    )(indices, offsets, seg_ids, table_in)
+    if out_d != d:
+        # collapse lane groups: each acc row holds pack interleaved copies
+        out = out.reshape(padded_batch, out_d // d, d).sum(axis=1)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
