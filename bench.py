@@ -110,25 +110,40 @@ def cpu_torch_rate(tables, batch, pooling, iters, seed=0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="kaggle", choices=["kaggle", "random", "toy"])
+    ap.add_argument("--config", default="kaggle",
+                    choices=["kaggle", "random", "toy", "bigtable"])
     ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--pooling", type=int, default=1,
-                    help="indices per bag (Criteo Kaggle is single-hot)")
+    ap.add_argument("--pooling", type=int, default=0,
+                    help="indices per bag (default: 1 for kaggle single-hot, "
+                         "32 for bigtable, 120 for random per r.sh)")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--cpu-iters", type=int, default=10)
     ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     from pim_embedding_lookup_tpu.config import (
+        TableConfig,
         kaggle_config,
         random_config,
         toy_config,
     )
 
-    cfg = {"kaggle": kaggle_config, "random": random_config, "toy": toy_config}[
-        args.config
-    ]()
-    tables = cfg.tables
+    if args.config == "bigtable":
+        # BASELINE.json synthetic big-table config scaled to one chip's HBM:
+        # 8 x 2M rows x dim 128 (8.2GB), pooling 32
+        tables = tuple(
+            TableConfig(num_rows=2_000_000, dim=128, name=f"big_{i}")
+            for i in range(8)
+        )
+    else:
+        cfg = {"kaggle": kaggle_config, "random": random_config, "toy": toy_config}[
+            args.config
+        ]()
+        tables = cfg.tables
+    if not args.pooling:
+        args.pooling = {"kaggle": 1, "toy": 1, "random": 120, "bigtable": 32}[
+            args.config
+        ]
 
     lookups_per_s, gbps, dt = tpu_lookup_rate(
         tables, args.batch, args.pooling, args.iters

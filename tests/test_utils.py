@@ -130,6 +130,42 @@ def test_phase_timer_and_intervals(tmp_path):
     assert "rank_id" in text and text.count("lookup") == 2
 
 
+def test_gantt_plot(tmp_path):
+    pytest.importorskip("matplotlib")
+    from pim_embedding_lookup_tpu.utils import plot_gantt
+
+    rec = IntervalRecorder()
+    for unit in range(4):
+        with rec.record(unit, "lookup"):
+            pass
+    csv_path = str(tmp_path / "iv.csv")
+    write_intervals_csv(csv_path, rec.intervals)
+    png = str(tmp_path / "gantt.png")
+    plot_gantt(csv_path, png)
+    assert os.path.getsize(png) > 1000
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace context produces a trace artifact (the Chrome-trace
+    analog of upmem/test.json)."""
+    from pim_embedding_lookup_tpu.utils import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jax.block_until_ready(jnp.arange(1000.0).sum())
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert files, "no trace output written"
+
+
+def test_cost_stats():
+    from pim_embedding_lookup_tpu.utils import cost_stats
+
+    f = jax.jit(lambda a, b: a @ b)
+    x = jnp.ones((128, 128))
+    stats = cost_stats(f, x, x)
+    assert stats["flops"] > 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pim_embedding_lookup_tpu.utils import checkpoint
 
