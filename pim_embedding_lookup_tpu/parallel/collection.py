@@ -220,9 +220,13 @@ def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, 
 
 
 def _local_pooled_lookup(pooling, table, g_idx, mask):
-    """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool."""
+    """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool.
+
+    Accumulates in f32 regardless of storage dtype (bf16 tables halve HBM
+    traffic; the pool must not lose precision — the analog of the DPU's
+    full-width int32 accumulate, emb_dpu_lookup.c:114)."""
     t, c = g_idx.shape
-    rows = jnp.take(table, g_idx, axis=0)  # [T, Bs*L, D]
+    rows = jnp.take(table, g_idx, axis=0).astype(jnp.float32)  # [T, Bs*L, D]
     rows = rows * mask[..., None].astype(rows.dtype)
     pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     return jnp.transpose(pooled, (1, 0, 2))
@@ -235,7 +239,7 @@ def _rowshard_pooled_lookup(rows_per_shard, pooling, table_shard, g_idx, mask):
     owned = (local >= 0) & (local < rows_per_shard) & mask
     local = jnp.where(owned, local, 0)
     t, c = g_idx.shape
-    rows = jnp.take(table_shard, local, axis=0)  # [T, Bs*L, D]
+    rows = jnp.take(table_shard, local, axis=0).astype(jnp.float32)
     rows = rows * owned[..., None].astype(rows.dtype)
     pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     pooled = jnp.transpose(pooled, (1, 0, 2))
