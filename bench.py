@@ -16,6 +16,7 @@ Extra detail goes to stderr.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -28,6 +29,15 @@ def log(*a):
 
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
+    """Device-honest lookup throughput.
+
+    The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
+    dispatch): per-iteration query perturbation defeats any host/relay
+    execution caching, and a scalar carry forces each iteration's result to
+    be consumed.  (A host-side loop re-dispatching 4 rotating buffers
+    measured an impossible 31TB/s through this environment's remote tunnel
+    — repeated identical executions were being deduped.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -45,26 +55,35 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
 
     rng = np.random.default_rng(seed)
     t = len(tables)
-    # several distinct query buffers so the loop isn't a single cached access
-    # pattern (load_generator.c regenerates per-run; 4 rotating buffers here)
-    nq = 4
-    queries = []
-    for q in range(nq):
-        idx = np.stack(
+    idx = jnp.asarray(
+        np.stack(
             [rng.integers(0, tb.num_rows, size=batch * pooling) for tb in tables]
         ).astype(np.int32)
-        queries.append(jax.device_put(jnp.asarray(idx)))
+    )
     mask = jnp.ones((t, batch * pooling), dtype=bool)
+    rows_arr = jnp.asarray([tb.num_rows for tb in tables], dtype=jnp.int32)
+    # large co-prime-ish per-iteration stride: decorrelates access patterns
+    stride = jnp.asarray(
+        [max(1, tb.num_rows // 7 + 1) for tb in tables], dtype=jnp.int32
+    )
 
-    lookup = jax.jit(lambda f, i, m: coll.lookup(f, i, m, batch_size=batch))
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def timed_loop(fused, idx, mask, n):
+        def body(i, carry):
+            acc, idx_i = carry
+            out = coll.lookup(fused, idx_i, mask, batch_size=batch)
+            # rotate every table's ids within its range for the next iter
+            idx_next = (idx_i + stride[:, None]) % rows_arr[:, None]
+            # full-output consumption so no part of the lookup can be DCE'd
+            return acc + jnp.sum(out), idx_next
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
+        return acc
+
     # warmup/compile
-    out = lookup(fused, queries[0], mask)
-    jax.block_until_ready(out)
-
+    jax.block_until_ready(timed_loop(fused, idx, mask, n=2))
     t0 = time.perf_counter()
-    for i in range(iters):
-        out = lookup(fused, queries[i % nq], mask)
-    jax.block_until_ready(out)
+    jax.block_until_ready(timed_loop(fused, idx, mask, n=iters))
     dt = (time.perf_counter() - t0) / iters
 
     lookups_per_s = batch * t / dt

@@ -175,6 +175,98 @@ class EmbeddingCollection:
         )
 
 
+    def lookup_csr(
+        self,
+        fused_table: jax.Array,
+        indices: jax.Array,  # [T, C] flat per-table ids, padded
+        offsets: jax.Array,  # [T, B+1] per-table bag offsets
+    ) -> jax.Array:
+        """Pooled SUM lookup over ragged (CSR) bags — the reference's exact
+        API shape (emb_host.h:234 ``lookup(uint32_t **indices, uint32_t
+        **offsets, ...)``) generalized over the mesh.
+
+        Unlike ``lookup`` (fixed pooling L), bags here have arbitrary
+        lengths encoded in offsets; pooling is a segment-sum per table.
+        Batch is NOT sharded over the data axis in this form (offsets don't
+        split cleanly); use the dense form for DP serving.
+        """
+        t, c = indices.shape
+        b = offsets.shape[1] - 1
+        g_idx = self.globalize(indices)
+        # per-entry bag id within its table: [T, C] in [0..B] (B = padding)
+        from ..ops.ragged import segment_ids_from_offsets
+
+        seg = jax.vmap(lambda o: segment_ids_from_offsets(o, c))(offsets)
+        return _lookup_csr_dispatch(
+            self.mesh,
+            self.layout.policy,
+            self.layout.rows_per_shard,
+            b,
+            fused_table,
+            g_idx,
+            seg.astype(jnp.int32),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "batch")
+)
+def _lookup_csr_dispatch(mesh, policy, rows_per_shard, batch, fused_table, g_idx, seg):
+    if policy == ShardingPolicy.COLUMN:
+        fn = shard_map(
+            functools.partial(_csr_pooled_lookup, batch, None),
+            mesh=mesh,
+            in_specs=(P(None, MODEL_AXIS), P(), P()),
+            out_specs=P(None, None, MODEL_AXIS),
+        )
+        return fn(fused_table, g_idx, seg)
+    if policy == ShardingPolicy.REPLICATE:
+        fn = shard_map(
+            functools.partial(_csr_pooled_lookup, batch, None),
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(None, None, None),
+            check_vma=False,  # identical on all shards by construction
+        )
+        return fn(fused_table, g_idx, seg)
+    local = functools.partial(_csr_pooled_lookup, batch, rows_per_shard)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(), P()),
+        out_specs=P(None, None, None),
+        check_vma=False,
+    )
+    return fn(fused_table, g_idx, seg)
+
+
+def _csr_pooled_lookup(batch, rows_per_shard, table_shard, g_idx, seg):
+    """[rows, D], [T, C], [T, C] -> [B, T, D] segment-sum pooled lookup."""
+    t, c = g_idx.shape
+    valid = seg < batch
+    if rows_per_shard is not None:
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        start = shard * rows_per_shard
+        local = g_idx - start
+        owned = (local >= 0) & (local < rows_per_shard) & valid
+        local = jnp.where(owned, local, 0)
+    else:
+        local = g_idx
+        owned = valid
+    rows = jnp.take(table_shard, local.reshape(-1), axis=0).astype(jnp.float32)
+    rows = rows * owned.reshape(-1)[:, None].astype(rows.dtype)
+    # fused segment ids: table t bag b -> t*(batch+1)+b
+    tid = jax.lax.broadcasted_iota(jnp.int32, (t, c), 0)
+    fseg = (tid * (batch + 1) + jnp.minimum(seg, batch)).reshape(-1)
+    pooled = jax.ops.segment_sum(
+        rows, fseg, num_segments=t * (batch + 1), indices_are_sorted=True
+    ).reshape(t, batch + 1, -1)[:, :batch, :]
+    pooled = jnp.transpose(pooled, (1, 0, 2))
+    if rows_per_shard is not None:
+        pooled = jax.lax.psum(pooled, MODEL_AXIS)
+    return pooled
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "pooling")
 )
