@@ -67,8 +67,9 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
         [max(1, tb.num_rows // 7 + 1) for tb in tables], dtype=jnp.int32
     )
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def timed_loop(fused, idx, mask, n):
+        # n is traced -> one compile serves warmup and the timed run
         def body(i, carry):
             acc, idx_i = carry
             out = coll.lookup(fused, idx_i, mask, batch_size=batch)
@@ -81,9 +82,9 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
         return acc
 
     # warmup/compile
-    jax.block_until_ready(timed_loop(fused, idx, mask, n=2))
+    jax.block_until_ready(timed_loop(fused, idx, mask, 2))
     t0 = time.perf_counter()
-    jax.block_until_ready(timed_loop(fused, idx, mask, n=iters))
+    jax.block_until_ready(timed_loop(fused, idx, mask, iters))
     dt = (time.perf_counter() - t0) / iters
 
     lookups_per_s = batch * t / dt
