@@ -179,3 +179,29 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = checkpoint.restore(p, state)
     np.testing.assert_array_equal(np.asarray(restored["emb"]), np.asarray(state["emb"]))
     assert int(restored["step"]) == 7
+
+
+def test_device_prefetch():
+    from pim_embedding_lookup_tpu.data.prefetch import device_prefetch
+
+    batches = [
+        {"x": np.ones((4, 4)) * i, "y": np.arange(4) + i} for i in range(5)
+    ]
+    seen = list(device_prefetch(iter(batches), buffer_size=2))
+    assert len(seen) == 5
+    for i, b in enumerate(seen):
+        assert isinstance(b["x"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
+
+def test_device_prefetch_propagates_errors():
+    from pim_embedding_lookup_tpu.data.prefetch import device_prefetch
+
+    def gen():
+        yield {"x": np.ones(2)}
+        raise ValueError("boom")
+
+    it = device_prefetch(gen())
+    next(it)
+    with pytest.raises(ValueError, match="boom"):
+        list(it)
