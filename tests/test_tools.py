@@ -1,0 +1,45 @@
+"""Smoke tests for the tools/ harnesses (CPU backend, tiny configs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_tool(script, *args, timeout=300):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.argv=['{script}']+{list(args)!r};"
+        f"exec(open('{script}').read())"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+    )
+
+
+def test_serving_bench_smoke():
+    r = run_tool(
+        "tools/serving_bench.py",
+        "--config", "toy", "--batch", "16", "--qps", "50", "--duration", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["requests"] > 0
+    assert rep["p99_ms"] >= rep["p50_ms"] > 0
+
+
+def test_scaling_bench_smoke():
+    r = run_tool(
+        "tools/scaling_bench.py",
+        "--force-cpu", "4", "--rows", "5000", "--tables", "2",
+        "--batch", "64", "--pooling", "4", "--iters", "3",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "1" in rep["lookups_per_s"] and "4" in rep["lookups_per_s"]
+    assert rep["scaling_efficiency"]["1"] == 1.0
