@@ -191,3 +191,44 @@ def test_csr_dense_roundtrip(rng):
     assert np.asarray(mask).sum() == 6
     np.testing.assert_array_equal(np.asarray(dense)[0, :2], [3, 1])
     np.testing.assert_array_equal(np.asarray(mask)[2], [False] * 4)
+
+
+def test_int8_quantized_lookup(rng, oracle):
+    from pim_embedding_lookup_tpu.ops.quantized import (
+        embedding_bag_quantized,
+        quantize_rowwise,
+    )
+
+    n, d, b = 300, 16, 24
+    table = rng.standard_normal((n, d)).astype(np.float32)
+    table[5] = 0.0  # zero row must not produce NaN scale
+    bags = [rng.integers(0, n, size=6).tolist() for _ in range(b)]
+    indices, offsets = ragged.pack_bags(bags, capacity=b * 6)
+    q, s = quantize_rowwise(jnp.asarray(table))
+    assert q.dtype == jnp.int8 and s.shape == (n,)
+    out = embedding_bag_quantized(
+        q, s, jnp.asarray(indices), jnp.asarray(offsets), batch_size=b
+    )
+    expected = oracle(table, indices, offsets)
+    # int8 symmetric quantization: per-element error <= scale/2 <= absmax/254
+    err = np.abs(np.asarray(out) - expected)
+    bound = 6 * np.abs(table).max() / 254 + 1e-6
+    assert err.max() <= bound
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantize_roundtrip_exact_for_grid(rng):
+    from pim_embedding_lookup_tpu.ops.quantized import (
+        dequantize_rows,
+        quantize_rowwise,
+    )
+
+    # values already on the quantization grid round-trip exactly
+    # (absmax pinned to 1.0 so scale is exactly 1/127)
+    table = (rng.integers(-127, 128, size=(20, 8)) / 127.0).astype(np.float32)
+    table[:, 0] = 1.0
+    q, s = quantize_rowwise(jnp.asarray(table))
+    back = dequantize_rows(
+        jnp.take(q, jnp.arange(20), axis=0), jnp.take(s, jnp.arange(20))
+    )
+    np.testing.assert_allclose(np.asarray(back), table, rtol=1e-5, atol=1e-7)
