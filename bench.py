@@ -28,7 +28,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
+def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -44,14 +44,28 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
     from pim_embedding_lookup_tpu.config import MeshConfig, ShardingPolicy
     from pim_embedding_lookup_tpu.parallel import EmbeddingCollection, make_mesh
 
+    from pim_embedding_lookup_tpu.parallel.hybrid import HybridEmbeddingCollection
+
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
         ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
     )
-    coll = EmbeddingCollection.create(tables, mesh, policy)
-    log(f"layout: policy={coll.layout.policy} total_rows={coll.layout.total_rows}")
-    fused = coll.init(jax.random.PRNGKey(seed))
-    jax.block_until_ready(fused)
+    if hybrid:
+        coll = HybridEmbeddingCollection.create(tables, mesh, policy)
+        log(f"layout: hybrid mxu_tables={len(coll.small_ids)} "
+            f"gather_tables={len(coll.big_ids)}")
+        params = coll.init(jax.random.PRNGKey(seed))
+
+        def lookup_fn(p, i, m):
+            return coll.lookup(p, i, m, batch_size=batch)
+    else:
+        coll = EmbeddingCollection.create(tables, mesh, policy)
+        log(f"layout: policy={coll.layout.policy} total_rows={coll.layout.total_rows}")
+        params = coll.init(jax.random.PRNGKey(seed))
+
+        def lookup_fn(p, i, m):
+            return coll.lookup(p, i, m, batch_size=batch)
+    jax.block_until_ready(params)
 
     rng = np.random.default_rng(seed)
     t = len(tables)
@@ -68,11 +82,11 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
     )
 
     @jax.jit
-    def timed_loop(fused, idx, mask, n):
+    def timed_loop(params, idx, mask, n):
         # n is traced -> one compile serves warmup and the timed run
         def body(i, carry):
             acc, idx_i = carry
-            out = coll.lookup(fused, idx_i, mask, batch_size=batch)
+            out = lookup_fn(params, idx_i, mask)
             # rotate every table's ids within its range for the next iter
             idx_next = (idx_i + stride[:, None]) % rows_arr[:, None]
             # full-output consumption so no part of the lookup can be DCE'd
@@ -82,9 +96,9 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0):
         return acc
 
     # warmup/compile
-    jax.block_until_ready(timed_loop(fused, idx, mask, 2))
+    jax.block_until_ready(timed_loop(params, idx, mask, 2))
     t0 = time.perf_counter()
-    jax.block_until_ready(timed_loop(fused, idx, mask, iters))
+    jax.block_until_ready(timed_loop(params, idx, mask, iters))
     dt = (time.perf_counter() - t0) / iters
 
     lookups_per_s = batch * t / dt
@@ -104,8 +118,13 @@ def cpu_torch_rate(tables, batch, pooling, iters, seed=0):
     except ImportError:
         return None
     torch.manual_seed(seed)
+    # from_pretrained(empty) skips the (minutes-long) random init of 33M+
+    # rows — values are irrelevant for throughput timing
     bags = [
-        torch.nn.EmbeddingBag(tb.num_rows, tb.dim, mode="sum", dtype=torch.float32)
+        torch.nn.EmbeddingBag.from_pretrained(
+            torch.empty(tb.num_rows, tb.dim, dtype=torch.float32), mode="sum",
+            freeze=True,
+        )
         for tb in tables
     ]
     rng = np.random.default_rng(seed)
@@ -139,6 +158,8 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--cpu-iters", type=int, default=10)
     ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--no-hybrid", action="store_true",
+                    help="disable the MXU small-table path")
     args = ap.parse_args()
 
     from pim_embedding_lookup_tpu.config import (
@@ -166,7 +187,7 @@ def main():
         ]
 
     lookups_per_s, gbps, dt = tpu_lookup_rate(
-        tables, args.batch, args.pooling, args.iters
+        tables, args.batch, args.pooling, args.iters, hybrid=not args.no_hybrid
     )
 
     vs_baseline = None
