@@ -90,10 +90,20 @@ class DLRM:
         config: DLRMConfig,
         mesh,
         policy: ShardingPolicy = ShardingPolicy.AUTO,
+        *,
+        hybrid: bool = False,
     ):
         self.config = config
         self.mesh = mesh
-        self.collection = EmbeddingCollection.create(config.tables, mesh, policy)
+        self.hybrid = hybrid
+        if hybrid:
+            from ..parallel.hybrid import HybridEmbeddingCollection
+
+            self.collection = HybridEmbeddingCollection.create(
+                config.tables, mesh, policy
+            )
+        else:
+            self.collection = EmbeddingCollection.create(config.tables, mesh, policy)
         d = config.sparse_dim
         if config.mlp_bot[-1] != d:
             raise ValueError(

@@ -25,8 +25,31 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..parallel.hybrid import (
+    HybridEmbeddingCollection,
+    init_accumulator_hybrid,
+    sparse_update_hybrid,
+)
 from ..parallel.sparse_update import init_accumulator, sparse_update
 from .dlrm import DLRM, bce_loss
+
+
+def _init_acc(coll):
+    if isinstance(coll, HybridEmbeddingCollection):
+        return init_accumulator_hybrid(coll)
+    return init_accumulator(coll)
+
+
+def _apply_sparse(coll, emb, acc, indices, mask, g_pooled, *, lr, optimizer, eps):
+    if isinstance(coll, HybridEmbeddingCollection):
+        return sparse_update_hybrid(
+            coll, emb, acc, indices, mask, g_pooled,
+            lr=lr, optimizer=optimizer, eps=eps,
+        )
+    return sparse_update(
+        coll, emb, acc, indices, mask, g_pooled,
+        lr=lr, optimizer=optimizer, eps=eps,
+    )
 
 
 def make_sparse_train_state(
@@ -34,13 +57,13 @@ def make_sparse_train_state(
     dense_optimizer: optax.GradientTransformation | None = None,
 ):
     """Returns (dense_opt, opt_state, acc).  ``params`` stays the single
-    source of truth; emb is updated sparsely, bot/top via optax."""
+    source of truth; emb is updated sparsely, bot/top via optax.
+    (acc is always allocated — zeros are unused for sgd but keep the step
+    signature uniform.)"""
     dense_opt = dense_optimizer or optax.sgd(lr)
     dense_params = {k: params[k] for k in ("bot", "top")}
     opt_state = dense_opt.init(dense_params)
-    acc = init_accumulator(model.collection) if optimizer == "row_adagrad" else (
-        init_accumulator(model.collection)  # zeros; unused for sgd but keeps
-    )                                        # the step signature uniform
+    acc = _init_acc(model.collection)
     return dense_opt, opt_state, acc
 
 
@@ -73,7 +96,7 @@ def make_sparse_train_step(
         updates, opt_state = dense_opt.update(g_dense, opt_state, dense_params)
         dense_params = optax.apply_updates(dense_params, updates)
 
-        emb, acc = sparse_update(
+        emb, acc = _apply_sparse(
             coll, emb, acc, indices, mask, g_pooled,
             lr=lr, optimizer=optimizer, eps=eps,
         )

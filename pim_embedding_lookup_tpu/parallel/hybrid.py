@@ -149,6 +149,52 @@ class HybridEmbeddingCollection:
         return jnp.take(pooled, jnp.asarray(self.perm, dtype=jnp.int32), axis=1)
 
 
+def init_accumulator_hybrid(coll: HybridEmbeddingCollection) -> dict:
+    from .sparse_update import init_accumulator
+
+    return {
+        "small": init_accumulator(coll.small) if coll.small else None,
+        "big": init_accumulator(coll.big) if coll.big else None,
+    }
+
+
+def sparse_update_hybrid(
+    coll: HybridEmbeddingCollection,
+    params: dict,
+    accs: dict,
+    indices: jax.Array,  # [T, B*L]
+    mask: jax.Array,
+    g_pooled: jax.Array,  # [B, T, D] in original table order
+    *,
+    lr: float,
+    optimizer: str = "sgd",
+    eps: float = 1e-8,
+) -> tuple[dict, dict]:
+    """Scatter-apply the embedding optimizer step to both sub-collections."""
+    from .sparse_update import sparse_update
+
+    params, accs = dict(params), dict(accs)
+    for name, sub, ids in (
+        ("small", coll.small, coll.small_ids),
+        ("big", coll.big, coll.big_ids),
+    ):
+        if sub is None:
+            continue
+        sel = jnp.asarray(ids, dtype=jnp.int32)
+        params[name], accs[name] = sparse_update(
+            sub,
+            params[name],
+            accs[name],
+            jnp.take(indices, sel, axis=0),
+            jnp.take(mask, sel, axis=0),
+            jnp.take(g_pooled, sel, axis=1),
+            lr=lr,
+            optimizer=optimizer,
+            eps=eps,
+        )
+    return params, accs
+
+
 def _mxu_pooled_lookup(fused, layout, indices, mask, *, batch_size):
     """One one-hot x slice matmul per small table, f32 accumulation.
 

@@ -99,3 +99,44 @@ def test_all_small_or_all_big(mesh, rng):
         idx = jnp.asarray(rng.integers(0, t.num_rows, size=(1, 8)).astype(np.int32))
         out = coll.lookup(params, idx, jnp.ones((1, 8), bool), batch_size=8)
         assert out.shape == (8, 1, 16)
+
+
+def test_hybrid_dlrm_sparse_training_learns(mesh):
+    from pim_embedding_lookup_tpu.config import DLRMConfig
+    from pim_embedding_lookup_tpu.models import DLRM
+    from pim_embedding_lookup_tpu.models.sparse_train import (
+        make_sparse_train_state,
+        make_sparse_train_step,
+    )
+
+    cfg = DLRMConfig(
+        dense_dim=4,
+        mlp_bot=(16, 16),
+        mlp_top=(8, 1),
+        tables=(
+            TableConfig(num_rows=40, dim=16, name="s"),
+            TableConfig(num_rows=5000, dim=16, name="b"),
+        ),
+    )
+    model = DLRM(cfg, mesh, ShardingPolicy.ROW, hybrid=True)
+    params = model.init(jax.random.PRNGKey(0))
+    dense_opt, opt_state, acc = make_sparse_train_state(model, params, lr=0.3)
+    step = make_sparse_train_step(model, dense_opt, lr=0.3, optimizer="row_adagrad")
+    dense_params = {k: params[k] for k in ("bot", "top")}
+    emb = params["emb"]
+    rng = np.random.default_rng(0)
+    b = 128
+    losses = []
+    for _ in range(80):
+        dense = jnp.asarray(rng.standard_normal((b, 4)).astype(np.float32))
+        idx_np = np.stack(
+            [rng.integers(0, t.num_rows, size=b) for t in cfg.tables]
+        ).astype(np.int32)
+        labels = (idx_np[0] % 2 == 0).astype(np.float32)
+        emb, acc, dense_params, opt_state, loss = step(
+            emb, acc, dense_params, opt_state,
+            dense, jnp.asarray(idx_np), jnp.ones((2, b), bool),
+            jnp.asarray(labels),
+        )
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.1
