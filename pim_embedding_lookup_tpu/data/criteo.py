@@ -63,7 +63,23 @@ class CriteoKaggle:
         path: str, max_rows: int | None = None, hash_mod: int = 1 << 20
     ) -> "CriteoKaggle":
         """Parse raw train.txt (label \\t 13 ints \\t 26 hex cats) with
-        modulo hashing — the fallback preprocessing path."""
+        modulo hashing.  Uses the native C++ parser (native/feeder.cpp) when
+        built; falls back to pure python."""
+        from ..utils import native
+
+        if native.available():
+            cap = max_rows or sum(1 for _ in open(path, "rb"))
+            parsed = native.parse_criteo_raw(path, cap, hash_mod)
+            if parsed is not None:
+                labels_np, dense_np, cat_np = parsed
+                x_int = np.log1p(np.maximum(dense_np, 0).astype(np.float32))
+                counts = cat_np.max(axis=0).astype(np.int64) + 1
+                return CriteoKaggle(
+                    x_int=x_int,
+                    x_cat=cat_np.astype(np.int32),
+                    y=labels_np.astype(np.float32),
+                    counts=counts,
+                )
         labels, dense, cats = [], [], []
         with open(path) as f:
             for i, line in enumerate(f):

@@ -1,6 +1,7 @@
 """Mesh construction, table placement planning, and sharded lookup."""
 
 from .collection import EmbeddingCollection
+from .hybrid import HybridEmbeddingCollection
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -15,6 +16,7 @@ from .planner import FusedLayout, plan
 
 __all__ = [
     "EmbeddingCollection",
+    "HybridEmbeddingCollection",
     "FusedLayout",
     "plan",
     "make_mesh",
