@@ -28,7 +28,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True):
+def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
+                    dtype="float32"):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -50,18 +51,20 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True):
     policy = (
         ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
     )
+    table_dtype = jnp.dtype(dtype)
     if hybrid:
         coll = HybridEmbeddingCollection.create(tables, mesh, policy)
         log(f"layout: hybrid mxu_tables={len(coll.small_ids)} "
-            f"gather_tables={len(coll.big_ids)}")
-        params = coll.init(jax.random.PRNGKey(seed))
+            f"gather_tables={len(coll.big_ids)} dtype={dtype}")
+        params = coll.init(jax.random.PRNGKey(seed), dtype=table_dtype)
 
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
     else:
         coll = EmbeddingCollection.create(tables, mesh, policy)
-        log(f"layout: policy={coll.layout.policy} total_rows={coll.layout.total_rows}")
-        params = coll.init(jax.random.PRNGKey(seed))
+        log(f"layout: policy={coll.layout.policy} "
+            f"total_rows={coll.layout.total_rows} dtype={dtype}")
+        params = coll.init(jax.random.PRNGKey(seed), dtype=table_dtype)
 
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
@@ -160,6 +163,9 @@ def main():
     ap.add_argument("--no-baseline", action="store_true")
     ap.add_argument("--no-hybrid", action="store_true",
                     help="disable the MXU small-table path")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="table storage dtype (accumulation is always f32)")
     args = ap.parse_args()
 
     from pim_embedding_lookup_tpu.config import (
@@ -187,7 +193,8 @@ def main():
         ]
 
     lookups_per_s, gbps, dt = tpu_lookup_rate(
-        tables, args.batch, args.pooling, args.iters, hybrid=not args.no_hybrid
+        tables, args.batch, args.pooling, args.iters,
+        hybrid=not args.no_hybrid, dtype=args.dtype,
     )
 
     vs_baseline = None
