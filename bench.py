@@ -24,8 +24,11 @@ import time
 import numpy as np
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time()-_T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
@@ -98,8 +101,10 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
         return acc
 
+    log("params ready; compiling timed loop")
     # warmup/compile
     jax.block_until_ready(timed_loop(params, idx, mask, 2))
+    log("compiled; timing")
     t0 = time.perf_counter()
     jax.block_until_ready(timed_loop(params, idx, mask, iters))
     dt = (time.perf_counter() - t0) / iters

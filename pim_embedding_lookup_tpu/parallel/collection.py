@@ -98,16 +98,19 @@ class EmbeddingCollection:
         ends, scales = self._sorted_table_ends()
 
         def make(k):
+            # generate in f32, cast once at the end — low-precision uniform/
+            # searchsorted compile poorly and lose init quality
             u = jax.random.uniform(
-                k, (self.layout.total_rows, self.layout.dim), dtype, -1.0, 1.0
+                k, (self.layout.total_rows, self.layout.dim), jnp.float32,
+                -1.0, 1.0,
             )
             row = jnp.arange(self.layout.total_rows, dtype=jnp.int32)
             tid = jnp.searchsorted(jnp.asarray(ends), row, side="right")
             scale = jnp.take(
-                jnp.asarray(scales, dtype=dtype),
+                jnp.asarray(scales, dtype=jnp.float32),
                 jnp.minimum(tid, len(self.layout.table_rows) - 1),
             )
-            return u * scale[:, None]
+            return (u * scale[:, None]).astype(dtype)
 
         return jax.jit(make, out_shardings=self.table_sharding)(key)
 
