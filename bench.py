@@ -32,7 +32,7 @@ def log(*a):
 
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
-                    dtype="float32"):
+                    dtype="float32", packed="auto"):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -56,17 +56,19 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
     )
     table_dtype = jnp.dtype(dtype)
     if hybrid:
-        coll = HybridEmbeddingCollection.create(tables, mesh, policy)
+        coll = HybridEmbeddingCollection.create(tables, mesh, policy, packed=packed)
         log(f"layout: hybrid mxu_tables={len(coll.small_ids)} "
-            f"gather_tables={len(coll.big_ids)} dtype={dtype}")
+            f"gather_tables={len(coll.big_ids)} dtype={dtype} "
+            f"pack={coll.big.layout.pack if coll.big else 1}")
         params = coll.init(jax.random.PRNGKey(seed), dtype=table_dtype)
 
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
     else:
-        coll = EmbeddingCollection.create(tables, mesh, policy)
+        coll = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
         log(f"layout: policy={coll.layout.policy} "
-            f"total_rows={coll.layout.total_rows} dtype={dtype}")
+            f"total_rows={coll.layout.total_rows} dtype={dtype} "
+            f"pack={coll.layout.pack}")
         params = coll.init(jax.random.PRNGKey(seed), dtype=table_dtype)
 
         def lookup_fn(p, i, m):
@@ -171,6 +173,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="table storage dtype (accumulation is always f32)")
+    ap.add_argument("--no-packed", action="store_true",
+                    help="disable lane-packed storage for dim<128 tables")
     args = ap.parse_args()
 
     from pim_embedding_lookup_tpu.config import (
@@ -200,6 +204,7 @@ def main():
     lookups_per_s, gbps, dt = tpu_lookup_rate(
         tables, args.batch, args.pooling, args.iters,
         hybrid=not args.no_hybrid, dtype=args.dtype,
+        packed=False if args.no_packed else "auto",
     )
 
     vs_baseline = None

@@ -66,9 +66,13 @@ class EmbeddingCollection:
         tables: Sequence[TableConfig],
         mesh: Mesh,
         policy: ShardingPolicy = ShardingPolicy.AUTO,
+        *,
+        packed: bool | str = False,
     ) -> "EmbeddingCollection":
+        """``packed``: lane-pack storage for dim<128 (see FusedLayout.pack).
+        False (default) | True (error if unsupported) | "auto"."""
         num_shards = mesh.shape[MODEL_AXIS]
-        return EmbeddingCollection(plan(tables, num_shards, policy), mesh)
+        return EmbeddingCollection(plan(tables, num_shards, policy, packed), mesh)
 
     # -- storage ------------------------------------------------------------
 
@@ -96,21 +100,38 @@ class EmbeddingCollection:
         subsequent HBM gather in the process ~150x).
         """
         ends, scales = self._sorted_table_ends()
+        lay = self.layout
+        pack, dim = lay.pack, lay.dim
 
         def make(k):
             # generate in f32, cast once at the end — low-precision uniform/
             # searchsorted compile poorly and lose init quality
             u = jax.random.uniform(
-                k, (self.layout.total_rows, self.layout.dim), jnp.float32,
+                k, (lay.storage_rows, lay.storage_width), jnp.float32,
                 -1.0, 1.0,
             )
-            row = jnp.arange(self.layout.total_rows, dtype=jnp.int32)
-            tid = jnp.searchsorted(jnp.asarray(ends), row, side="right")
-            scale = jnp.take(
-                jnp.asarray(scales, dtype=jnp.float32),
-                jnp.minimum(tid, len(self.layout.table_rows) - 1),
-            )
-            return (u * scale[:, None]).astype(dtype)
+            if pack == 1:
+                row = jnp.arange(lay.total_rows, dtype=jnp.int32)
+                tid = jnp.searchsorted(jnp.asarray(ends), row, side="right")
+                scale = jnp.take(
+                    jnp.asarray(scales, dtype=jnp.float32),
+                    jnp.minimum(tid, len(lay.table_rows) - 1),
+                )[:, None]
+            else:
+                # fused row of lane (p, l) is p*pack + l//dim; all fully
+                # fused elementwise — nothing materializes besides u.
+                shape = (lay.storage_rows, lay.storage_width)
+                p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                frow = p * pack + lane // dim
+                tid = jnp.searchsorted(
+                    jnp.asarray(ends), frow.reshape(-1), side="right"
+                ).reshape(shape)
+                scale = jnp.take(
+                    jnp.asarray(scales, dtype=jnp.float32),
+                    jnp.minimum(tid, len(lay.table_rows) - 1),
+                )
+            return (u * scale).astype(dtype)
 
         return jax.jit(make, out_shardings=self.table_sharding)(key)
 
@@ -135,6 +156,7 @@ class EmbeddingCollection:
             if arr.shape != (rows, self.layout.dim):
                 raise ValueError(f"table shape {arr.shape} != {(rows, self.layout.dim)}")
             fused[off : off + rows] = arr
+        fused = fused.reshape(self.layout.storage_rows, self.layout.storage_width)
         return jax.device_put(jnp.asarray(fused), self.table_sharding)
 
     # -- query globalization ------------------------------------------------
@@ -172,6 +194,7 @@ class EmbeddingCollection:
             self.layout.policy,
             self.layout.rows_per_shard,
             c // b,
+            self.layout.pack,
             fused_table,
             g_idx,
             mask,
@@ -205,6 +228,7 @@ class EmbeddingCollection:
             self.layout.policy,
             self.layout.rows_per_shard,
             b,
+            self.layout.pack,
             fused_table,
             g_idx,
             seg.astype(jnp.int32),
@@ -212,12 +236,14 @@ class EmbeddingCollection:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "batch")
+    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "batch", "pack")
 )
-def _lookup_csr_dispatch(mesh, policy, rows_per_shard, batch, fused_table, g_idx, seg):
+def _lookup_csr_dispatch(
+    mesh, policy, rows_per_shard, batch, pack, fused_table, g_idx, seg
+):
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None),
+            functools.partial(_csr_pooled_lookup, batch, None, pack),
             mesh=mesh,
             in_specs=(P(None, MODEL_AXIS), P(), P()),
             out_specs=P(None, None, MODEL_AXIS),
@@ -225,14 +251,14 @@ def _lookup_csr_dispatch(mesh, policy, rows_per_shard, batch, fused_table, g_idx
         return fn(fused_table, g_idx, seg)
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None),
+            functools.partial(_csr_pooled_lookup, batch, None, pack),
             mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=P(None, None, None),
             check_vma=False,  # identical on all shards by construction
         )
         return fn(fused_table, g_idx, seg)
-    local = functools.partial(_csr_pooled_lookup, batch, rows_per_shard)
+    local = functools.partial(_csr_pooled_lookup, batch, rows_per_shard, pack)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -243,7 +269,7 @@ def _lookup_csr_dispatch(mesh, policy, rows_per_shard, batch, fused_table, g_idx
     return fn(fused_table, g_idx, seg)
 
 
-def _csr_pooled_lookup(batch, rows_per_shard, table_shard, g_idx, seg):
+def _csr_pooled_lookup(batch, rows_per_shard, pack, table_shard, g_idx, seg):
     """[rows, D], [T, C], [T, C] -> [B, T, D] segment-sum pooled lookup."""
     t, c = g_idx.shape
     valid = seg < batch
@@ -256,7 +282,7 @@ def _csr_pooled_lookup(batch, rows_per_shard, table_shard, g_idx, seg):
     else:
         local = g_idx
         owned = valid
-    rows = jnp.take(table_shard, local.reshape(-1), axis=0).astype(jnp.float32)
+    rows = _gather_f32(table_shard, local.reshape(-1), pack)
     rows = rows * owned.reshape(-1)[:, None].astype(rows.dtype)
     # fused segment ids: table t bag b -> t*(batch+1)+b
     tid = jax.lax.broadcasted_iota(jnp.int32, (t, c), 0)
@@ -271,12 +297,14 @@ def _csr_pooled_lookup(batch, rows_per_shard, table_shard, g_idx, seg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "pooling")
+    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "pooling", "pack")
 )
-def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, mask):
+def _lookup_dispatch(
+    mesh, policy, rows_per_shard, pooling, pack, fused_table, g_idx, mask
+):
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling),
+            functools.partial(_local_pooled_lookup, pooling, pack),
             mesh=mesh,
             in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
             out_specs=P(DATA_AXIS, None, None),
@@ -285,7 +313,7 @@ def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, 
 
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling),
+            functools.partial(_local_pooled_lookup, pooling, pack),
             mesh=mesh,
             in_specs=(
                 P(None, MODEL_AXIS),
@@ -300,7 +328,9 @@ def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, 
 
     # ROW / TABLE_WISE: ownership-masked local pool + psum merge — the
     # reduce-scatter/all-reduce replacing the host-side post_process merge.
-    local = functools.partial(_rowshard_pooled_lookup, rows_per_shard, pooling)
+    local = functools.partial(
+        _rowshard_pooled_lookup, rows_per_shard, pooling, pack
+    )
     fn = shard_map(
         local,
         mesh=mesh,
@@ -314,27 +344,46 @@ def _lookup_dispatch(mesh, policy, rows_per_shard, pooling, fused_table, g_idx, 
     return fn(fused_table, g_idx, mask)
 
 
-def _local_pooled_lookup(pooling, table, g_idx, mask):
+def _gather_f32(table, ids, pack):
+    """Gather fused rows -> [..., dim] f32, through packed storage if pack>1.
+
+    Packed: fetch the 128-lane storage row ids//pack (one gather issue buys
+    pack rows' worth of lanes), then select lane group ids%pack with a
+    one-hot contraction — f32 accumulation via preferred_element_type."""
+    if pack == 1:
+        return jnp.take(table, ids, axis=0).astype(jnp.float32)
+    d = table.shape[-1] // pack
+    rows = jnp.take(table, ids // pack, axis=0)  # [..., pack*d]
+    g = jax.nn.one_hot(ids % pack, pack, dtype=rows.dtype)  # [..., pack]
+    return jnp.einsum(
+        "...pd,...p->...d",
+        rows.reshape(*ids.shape, pack, d),
+        g,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _local_pooled_lookup(pooling, pack, table, g_idx, mask):
     """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool.
 
     Accumulates in f32 regardless of storage dtype (bf16 tables halve HBM
     traffic; the pool must not lose precision — the analog of the DPU's
     full-width int32 accumulate, emb_dpu_lookup.c:114)."""
     t, c = g_idx.shape
-    rows = jnp.take(table, g_idx, axis=0).astype(jnp.float32)  # [T, Bs*L, D]
+    rows = _gather_f32(table, g_idx, pack)  # [T, Bs*L, D] f32
     rows = rows * mask[..., None].astype(rows.dtype)
     pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     return jnp.transpose(pooled, (1, 0, 2))
 
 
-def _rowshard_pooled_lookup(rows_per_shard, pooling, table_shard, g_idx, mask):
+def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, table_shard, g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
-    start = shard * rows_per_shard
+    start = shard * rows_per_shard  # pack-aligned by the planner
     local = g_idx - start
     owned = (local >= 0) & (local < rows_per_shard) & mask
     local = jnp.where(owned, local, 0)
     t, c = g_idx.shape
-    rows = jnp.take(table_shard, local, axis=0).astype(jnp.float32)
+    rows = _gather_f32(table_shard, local, pack)
     rows = rows * owned[..., None].astype(rows.dtype)
     pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
     pooled = jnp.transpose(pooled, (1, 0, 2))

@@ -56,6 +56,7 @@ class HybridEmbeddingCollection:
         policy: ShardingPolicy = ShardingPolicy.AUTO,
         *,
         mxu_threshold: int = DEFAULT_MXU_THRESHOLD,
+        packed: bool | str = "auto",
     ) -> "HybridEmbeddingCollection":
         small_ids = tuple(
             i for i, t in enumerate(tables) if t.num_rows <= mxu_threshold
@@ -64,6 +65,8 @@ class HybridEmbeddingCollection:
             i for i, t in enumerate(tables) if t.num_rows > mxu_threshold
         )
         small = (
+            # the MXU path slices per-table weights out of the fused array,
+            # so the small set stays unpacked
             EmbeddingCollection.create(
                 [tables[i] for i in small_ids], mesh, ShardingPolicy.REPLICATE
             )
@@ -71,8 +74,10 @@ class HybridEmbeddingCollection:
             else None
         )
         big = (
+            # lane-packed storage (dim<128): one 128-lane gather serves
+            # pack=128/dim rows — see FusedLayout.pack
             EmbeddingCollection.create(
-                [tables[i] for i in big_ids], mesh, policy
+                [tables[i] for i in big_ids], mesh, policy, packed=packed
             )
             if big_ids
             else None

@@ -38,6 +38,16 @@ class FusedLayout:
     Tables live stacked in one [total_rows, dim] array; table t's row r is
     fused row ``row_offsets[t] + r``.  ``total_rows`` is padded so the model
     axis divides it evenly (XLA equal-shard constraint).
+
+    When ``pack > 1`` (lane packing, dim < 128 and 128 % dim == 0) the
+    physical storage is ``[total_rows/pack, dim*pack]``: ``pack``
+    consecutive fused rows share one 128-lane storage row, and fused row g
+    lives at storage row ``g // pack``, lane group ``g % pack``.  TPU random
+    gathers are issue-rate bound (~16-26ns/row regardless of row width,
+    docs/PERF.md), so fetching 128 useful lanes per issue instead of ``dim``
+    cuts the gather cost up to ``pack``x — the TPU analog of the DPU
+    kernel's 8-byte read-pair trick (emb_dpu_lookup.c:112-114, which reads
+    two 4B values per aligned MRAM transfer and selects with ind%2).
     """
 
     policy: ShardingPolicy
@@ -46,6 +56,7 @@ class FusedLayout:
     row_offsets: tuple[int, ...]  # [T] fused start row per table
     table_rows: tuple[int, ...]  # [T] logical rows per table
     total_rows: int  # padded fused row count
+    pack: int = 1  # fused rows per 128-lane storage row
 
     @property
     def rows_per_shard(self) -> int:
@@ -55,15 +66,42 @@ class FusedLayout:
     def num_tables(self) -> int:
         return len(self.row_offsets)
 
+    @property
+    def storage_rows(self) -> int:
+        return self.total_rows // self.pack
+
+    @property
+    def storage_width(self) -> int:
+        return self.dim * self.pack
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def resolve_pack(dim: int, policy: ShardingPolicy, packed) -> int:
+    """Lane-pack factor for (dim, policy).  ``packed``: False, True, "auto".
+
+    Packing needs 128 % dim == 0 with dim < 128, and is incompatible with
+    COLUMN sharding (splitting the 128 storage lanes would split lane
+    groups, not embedding dims)."""
+    supported = dim < 128 and 128 % dim == 0 and policy != ShardingPolicy.COLUMN
+    if packed is True:
+        if not supported:
+            raise ValueError(
+                f"packed storage unsupported for dim={dim}, policy={policy}"
+            )
+        return 128 // dim
+    if packed == "auto":
+        return 128 // dim if supported else 1
+    return 1
 
 
 def plan(
     tables: Sequence[TableConfig],
     num_shards: int,
     policy: ShardingPolicy = ShardingPolicy.AUTO,
+    packed: bool | str = False,
 ) -> FusedLayout:
     dims = {t.dim for t in tables}
     if len(dims) != 1:
@@ -80,10 +118,15 @@ def plan(
         else:
             policy = ShardingPolicy.ROW
 
+    pack = resolve_pack(dim, policy, packed)
+    # Storage rows stay sublane(8)-aligned; shard boundaries must also land
+    # on storage-row (pack) boundaries so g//pack stays shard-local.
+    align = 8 * pack
+
     table_rows = tuple(t.num_rows for t in tables)
 
     if policy == ShardingPolicy.TABLE_WISE:
-        return _plan_table_wise(table_rows, dim, num_shards)
+        return _plan_table_wise(table_rows, dim, num_shards, pack, align)
 
     # Contiguous fused layout; pad total rows so shards split evenly.
     offsets, acc = [], 0
@@ -92,9 +135,9 @@ def plan(
         acc += t.num_rows
     if policy == ShardingPolicy.ROW:
         # Sublane-align each shard's slice to keep gathers tile-friendly.
-        total = _round_up(acc, num_shards * 8)
+        total = _round_up(acc, num_shards * align)
     else:
-        total = _round_up(acc, 8)
+        total = _round_up(acc, align)
     if policy == ShardingPolicy.COLUMN and dim % num_shards != 0:
         raise ValueError(f"COLUMN sharding needs model|{num_shards} to divide dim={dim}")
     return FusedLayout(
@@ -104,11 +147,13 @@ def plan(
         row_offsets=tuple(offsets),
         table_rows=table_rows,
         total_rows=total,
+        pack=pack,
     )
 
 
 def _plan_table_wise(
-    table_rows: tuple[int, ...], dim: int, num_shards: int
+    table_rows: tuple[int, ...], dim: int, num_shards: int,
+    pack: int = 1, align: int = 8,
 ) -> FusedLayout:
     """Greedy bin-pack whole tables onto shards by row count (the balance
     problem the reference solves trivially by giving every table NR_COLS
@@ -121,7 +166,7 @@ def _plan_table_wise(
         s = int(np.argmin(loads))
         bins[s].append(i)
         loads[s] += table_rows[i]
-    rows_per_shard = _round_up(max(loads), 8)
+    rows_per_shard = _round_up(max(loads), align)
     offsets = [0] * len(table_rows)
     for s, members in enumerate(bins):
         acc = s * rows_per_shard
@@ -135,4 +180,5 @@ def _plan_table_wise(
         row_offsets=tuple(offsets),
         table_rows=table_rows,
         total_rows=rows_per_shard * num_shards,
+        pack=pack,
     )

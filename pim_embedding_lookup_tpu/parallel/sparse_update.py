@@ -50,6 +50,23 @@ def _entry_updates(g_idx, mask, g_pooled, pooling):
     return g_idx.reshape(-1), g_e.reshape(t * c, d), mask.reshape(-1)
 
 
+def _scatter_step(emb_shard, local, step, pack):
+    """Scatter-add per-entry steps [C, D] at fused-local row ids ``local``
+    (already clamped to oob=rows_per_shard for dropped entries).
+
+    pack>1: the shard stores [rows_per_shard/pack, pack*D]; expand each
+    D-lane step into its 128-lane storage row via an outer product with the
+    lane-group one-hot, then scatter at local//pack (oob maps exactly to
+    the storage row count — still dropped)."""
+    if pack == 1:
+        return emb_shard.at[local].add(step.astype(emb_shard.dtype), mode="drop")
+    goh = jax.nn.one_hot(local % pack, pack, dtype=step.dtype)  # [C, pack]
+    upd = jnp.einsum("cp,cd->cpd", goh, step).reshape(step.shape[0], -1)
+    return emb_shard.at[local // pack].add(
+        upd.astype(emb_shard.dtype), mode="drop"
+    )
+
+
 def _apply_local(
     emb_shard,
     acc_shard,
@@ -59,6 +76,7 @@ def _apply_local(
     *,
     pooling: int,
     rows_per_shard: int,
+    pack: int,
     row_offset_from_axis: bool,
     lr: float,
     eps: float,
@@ -77,8 +95,9 @@ def _apply_local(
     )
     if use_adagrad:
         # row-wise adagrad: acc[r] += mean_d(g^2); step = lr/sqrt(acc+eps).
-        # acc is 1-D [rows] — a [rows, 1] buffer would relayout
-        # catastrophically on TPU (see EmbeddingCollection.init docstring).
+        # acc is 1-D [rows] (per FUSED row even when storage is packed) —
+        # a [rows, 1] buffer would relayout catastrophically on TPU (see
+        # EmbeddingCollection.init docstring).
         sq = jnp.mean(updates * updates, axis=-1)  # [C]
         if psum_sq_over_model:
             sq = jax.lax.psum(sq, MODEL_AXIS) / jax.lax.psum(
@@ -87,9 +106,9 @@ def _apply_local(
         acc_shard = acc_shard.at[local].add(sq, mode="drop")
         rows_acc = jnp.take(acc_shard, jnp.minimum(local, rows_per_shard - 1))
         scale = lr * jax.lax.rsqrt(rows_acc + eps)  # [C]
-        emb_shard = emb_shard.at[local].add(-scale[:, None] * updates, mode="drop")
+        emb_shard = _scatter_step(emb_shard, local, -scale[:, None] * updates, pack)
     else:
-        emb_shard = emb_shard.at[local].add(-lr * updates, mode="drop")
+        emb_shard = _scatter_step(emb_shard, local, -lr * updates, pack)
     return emb_shard, acc_shard
 
 
@@ -136,6 +155,7 @@ def sparse_update(
             emb_shard, acc_shard, g_idx_g, mask_g, g_g,
             pooling=pooling,
             rows_per_shard=rps if rowish else coll.layout.total_rows,
+            pack=coll.layout.pack,
             row_offset_from_axis=rowish,
             lr=lr, eps=eps, use_adagrad=use_adagrad,
             psum_sq_over_model=column and use_adagrad,

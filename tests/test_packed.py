@@ -1,0 +1,232 @@
+"""Lane-packed storage (FusedLayout.pack): dim<128 tables store pack=128/dim
+fused rows per 128-lane storage row so each HBM gather issue fetches a full
+128-lane row — the TPU analog of the DPU kernel's 8-byte read-pair trick
+(emb_dpu_lookup.c:112-114: aligned 8B MRAM read, select with ind%2).
+
+Parity is checked against the unpacked path and the numpy oracle across all
+supported sharding policies, for lookup (dense + CSR), init, and the sparse
+scatter-update optimizer step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pim_embedding_lookup_tpu.config import MeshConfig, ShardingPolicy, TableConfig
+from pim_embedding_lookup_tpu.parallel import EmbeddingCollection, make_mesh, plan
+from pim_embedding_lookup_tpu.parallel.planner import resolve_pack
+from pim_embedding_lookup_tpu.parallel.sparse_update import (
+    init_accumulator,
+    sparse_update,
+)
+
+TABLES16 = (
+    TableConfig(num_rows=100, dim=16, name="a"),
+    TableConfig(num_rows=1000, dim=16, name="b"),
+    TableConfig(num_rows=37, dim=16, name="c"),
+    TableConfig(num_rows=4000, dim=16, name="d"),
+)
+
+
+def make_tables(dim):
+    return tuple(
+        TableConfig(num_rows=n, dim=dim, name=f"t{i}")
+        for i, n in enumerate((100, 1000, 37, 4000))
+    )
+
+
+def make_query(rng, tables, b, l):
+    idx = np.stack(
+        [rng.integers(0, t.num_rows, size=(b, l)) for t in tables]
+    ).astype(np.int32)
+    mask = rng.random((len(tables), b, l)) < 0.7
+    t = len(tables)
+    return (
+        jnp.asarray(idx.reshape(t, b * l)),
+        jnp.asarray(mask.reshape(t, b * l)),
+        idx,
+        mask,
+    )
+
+
+def oracle_pooled(tables_np, idx, mask):
+    t, b, l = idx.shape
+    d = tables_np[0].shape[1]
+    out = np.zeros((b, t, d), np.float32)
+    for ti in range(t):
+        for bi in range(b):
+            for li in range(l):
+                if mask[ti, bi, li]:
+                    out[bi, ti] += tables_np[ti][idx[ti, bi, li]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=2, model=4))
+
+
+def test_resolve_pack():
+    assert resolve_pack(16, ShardingPolicy.ROW, "auto") == 8
+    assert resolve_pack(32, ShardingPolicy.ROW, "auto") == 4
+    assert resolve_pack(64, ShardingPolicy.REPLICATE, True) == 2
+    assert resolve_pack(128, ShardingPolicy.ROW, "auto") == 1
+    assert resolve_pack(48, ShardingPolicy.ROW, "auto") == 1  # 128 % 48 != 0
+    assert resolve_pack(16, ShardingPolicy.COLUMN, "auto") == 1
+    assert resolve_pack(16, ShardingPolicy.ROW, False) == 1
+    with pytest.raises(ValueError):
+        resolve_pack(128, ShardingPolicy.ROW, True)
+    with pytest.raises(ValueError):
+        resolve_pack(16, ShardingPolicy.COLUMN, True)
+
+
+def test_plan_packed_alignment():
+    lay = plan(TABLES16, num_shards=4, policy=ShardingPolicy.ROW, packed=True)
+    assert lay.pack == 8
+    assert lay.storage_width == 128
+    assert lay.rows_per_shard % (8 * lay.pack) == 0
+    assert lay.storage_rows * lay.pack == lay.total_rows
+    lay = plan(TABLES16, 4, ShardingPolicy.TABLE_WISE, packed=True)
+    assert lay.pack == 8 and lay.rows_per_shard % 8 * lay.pack == 0
+
+
+@pytest.mark.parametrize(
+    "policy",
+    [ShardingPolicy.REPLICATE, ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE],
+)
+@pytest.mark.parametrize("dim", [16, 64])
+def test_packed_lookup_parity(mesh, rng, policy, dim):
+    tables = make_tables(dim)
+    coll = EmbeddingCollection.create(tables, mesh, policy, packed=True)
+    assert coll.layout.pack == 128 // dim
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    assert fused.shape == (coll.layout.storage_rows, 128)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
+    out = coll.lookup(fused, idx, mask, batch_size=16)
+    expected = oracle_pooled(tables_np, idx3, mask3)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_csr_lookup_parity(mesh, rng):
+    tables = TABLES16
+    coll = EmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    t, b, cap = len(tables), 8, 40
+    # ragged bags: random offsets per table
+    offsets = np.zeros((t, b + 1), np.int32)
+    indices = np.zeros((t, cap), np.int32)
+    expected = np.zeros((b, t, 16), np.float32)
+    for ti in range(t):
+        lens = rng.integers(0, 6, size=b)
+        lens = np.minimum(lens, cap // b)
+        offsets[ti, 1:] = np.cumsum(lens)
+        for bi in range(b):
+            ids = rng.integers(0, tables[ti].num_rows, size=lens[bi])
+            indices[ti, offsets[ti, bi] : offsets[ti, bi + 1]] = ids
+            expected[bi, ti] = tables_np[ti][ids].sum(0) if len(ids) else 0
+    out = coll.lookup_csr(fused, jnp.asarray(indices), jnp.asarray(offsets))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_init_scales(mesh):
+    coll = EmbeddingCollection.create(
+        TABLES16, mesh, ShardingPolicy.ROW, packed=True
+    )
+    fused = coll.init(jax.random.PRNGKey(0))
+    lo = coll.layout
+    arr = np.asarray(fused).reshape(lo.total_rows, lo.dim)  # unpack
+    for off, rows, t in zip(lo.row_offsets, lo.table_rows, TABLES16):
+        bound = 1.0 / np.sqrt(t.num_rows)
+        seg = arr[off : off + rows]
+        assert np.abs(seg).max() <= bound + 1e-6
+        assert np.abs(seg).std() > 0
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "row_adagrad"])
+@pytest.mark.parametrize(
+    "policy", [ShardingPolicy.ROW, ShardingPolicy.REPLICATE]
+)
+def test_packed_sparse_update_parity(mesh, rng, policy, optimizer):
+    """Packed and unpacked collections apply identical optimizer steps."""
+    tables = TABLES16
+    packed = EmbeddingCollection.create(tables, mesh, policy, packed=True)
+    plain = EmbeddingCollection.create(tables, mesh, policy, packed=False)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    f_packed = packed.device_put_tables(tables_np)
+    f_plain = plain.device_put_tables(tables_np)
+    a_packed = init_accumulator(packed)
+    a_plain = init_accumulator(plain)
+    idx, mask, _, _ = make_query(rng, tables, b=8, l=4)
+    g_pooled = jnp.asarray(
+        rng.standard_normal((8, len(tables), 16)).astype(np.float32)
+    )
+    f_packed, a_packed = sparse_update(
+        packed, f_packed, a_packed, idx, mask, g_pooled,
+        lr=0.1, optimizer=optimizer,
+    )
+    f_plain, a_plain = sparse_update(
+        plain, f_plain, a_plain, idx, mask, g_pooled,
+        lr=0.1, optimizer=optimizer,
+    )
+    up = np.asarray(f_packed).reshape(packed.layout.total_rows, 16)
+    pl = np.asarray(f_plain)
+    n = min(packed.layout.total_rows, plain.layout.total_rows)
+    # padded-tail rows may differ (different total padding); compare the
+    # logical table regions
+    for off_p, off_u, rows in zip(
+        packed.layout.row_offsets, plain.layout.row_offsets,
+        packed.layout.table_rows,
+    ):
+        np.testing.assert_allclose(
+            up[off_p : off_p + rows], pl[off_u : off_u + rows],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_hybrid_packed_end_to_end(mesh, rng):
+    """Hybrid with a packed big path trains and matches the unpacked hybrid
+    lookup bit-for-bit after device_put of identical weights."""
+    from pim_embedding_lookup_tpu.parallel.hybrid import HybridEmbeddingCollection
+
+    tables = (
+        TableConfig(num_rows=50, dim=16, name="s0"),
+        TableConfig(num_rows=20000, dim=16, name="b0"),
+        TableConfig(num_rows=9000, dim=16, name="b1"),
+    )
+    hp = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW, mxu_threshold=1000, packed=True
+    )
+    hu = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW, mxu_threshold=1000, packed=False
+    )
+    assert hp.big.layout.pack == 8 and hu.big.layout.pack == 1
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    pp = hp.device_put_tables(tables_np)
+    pu = hu.device_put_tables(tables_np)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=8, l=3)
+    op = hp.lookup(pp, idx, mask, batch_size=8)
+    ou = hu.lookup(pu, idx, mask, batch_size=8)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ou), rtol=1e-5, atol=1e-6)
+    # vs oracle: the hybrid MXU path quantizes small-table weights to bf16
+    # (~0.4%/element, amplified by bag-sum cancellation) — identical in both
+    # collections, so the tight packed-vs-unpacked check above is the real
+    # parity gate.
+    np.testing.assert_allclose(
+        np.asarray(op), oracle_pooled(tables_np, idx3, mask3), rtol=5e-2, atol=5e-2
+    )

@@ -19,25 +19,30 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def igtimer(lookup_fn, idx0, rotate_fn, iters, *static_args):
-    """In-graph timed loop: acc += sum(lookup(idx_i)); idx rotates per iter."""
+def igtimer(lookup_fn, table, idx0, rotate_fn, iters):
+    """In-graph timed loop: acc += sum(lookup(table, idx_i)); idx rotates.
+
+    ``table`` (any pytree of device arrays) is a jit ARGUMENT — closing over
+    a big device array turns it into a program constant shipped through the
+    remote compiler (2.16GB constant -> 10+ min compiles; CLAUDE.md rule 3).
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(idx, n):
+    def loop(tbl, idx, n):
         # n traced -> single compile for warmup + timed run
         def body(i, carry):
             acc, idx_i = carry
-            out = lookup_fn(idx_i)
+            out = lookup_fn(tbl, idx_i)
             return acc + jnp.sum(out), rotate_fn(idx_i)
 
         acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
         return acc
 
-    jax.block_until_ready(loop(idx0, 2))  # compile + warm
+    jax.block_until_ready(loop(table, idx0, 2))  # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(idx0, iters))
+    jax.block_until_ready(loop(table, idx0, iters))
     return (time.perf_counter() - t0) / iters
 
 
@@ -90,11 +95,12 @@ def main():
 
     if want("take"):
         report("take+pool", igtimer(
-            lambda i: jnp.take(table, i, axis=0), flat_idx, rotate, args.iters))
+            lambda t, i: jnp.take(t, i, axis=0), table,
+            flat_idx, rotate, args.iters))
 
     if want("sorted"):
         report("sort+take", igtimer(
-            lambda i: jnp.take(table, jnp.sort(i), axis=0),
+            lambda t, i: jnp.take(t, jnp.sort(i), axis=0), table,
             flat_idx, rotate, args.iters))
 
     if want("pallas"):
@@ -108,11 +114,11 @@ def main():
         for tile_b, nbuf in variants:
             try:
                 dt = igtimer(
-                    lambda i: pallas_embedding_bag_csr(
-                        table, i, offsets, batch_size=bsz,
+                    lambda t, i: pallas_embedding_bag_csr(
+                        t, i, offsets, batch_size=bsz,
                         tile_b=tile_b, nbuf=nbuf,
                     ),
-                    flat_idx, rotate, args.iters,
+                    table, flat_idx, rotate, args.iters,
                 )
                 report(f"pallas tb={tile_b} nbuf={nbuf}", dt)
             except Exception as e:
@@ -126,59 +132,62 @@ def main():
         # (~21-26ns/row at dim 16 AND dim 128), so this cuts issues by 8x.
         pack = 128 // d
         npad = (n + pack - 1) // pack * pack
+        # Build the packed table directly at [npad/pack, 128]: reshaping the
+        # [N, 16] original on-device OOMs (the padded copy gets a T(8,128)
+        # tiled layout, 8x inflation).  Contents don't matter for timing.
         tp = jax.jit(
-            lambda t: jnp.pad(t, ((0, npad - n), (0, 0))).reshape(
-                npad // pack, pack * d
+            lambda k: jax.random.uniform(
+                k, (npad // pack, pack * d), jnp.float32, -0.1, 0.1
             )
-        )(table)
+        )(key)
         jax.block_until_ready(tp)
 
-        def packed_einsum(i):
-            rows = jnp.take(tp, i // pack, axis=0)  # [c, 128]
+        def packed_einsum(t, i):
+            rows = jnp.take(t, i // pack, axis=0)  # [c, 128]
             g = jax.nn.one_hot(i % pack, pack, dtype=jnp.float32)  # [c, pack]
             return jnp.einsum(
                 "cpd,cp->cd", rows.reshape(-1, pack, d), g,
                 preferred_element_type=jnp.float32,
             )
 
-        report("packed einsum", igtimer(packed_einsum, flat_idx, rotate,
+        report("packed einsum", igtimer(packed_einsum, tp, flat_idx, rotate,
                                         args.iters))
 
-        def packed_take(i):
-            rows = jnp.take(tp, i // pack, axis=0).reshape(-1, pack, d)
+        def packed_take(t, i):
+            rows = jnp.take(t, i // pack, axis=0).reshape(-1, pack, d)
             return jnp.take_along_axis(
                 rows, (i % pack)[:, None, None], axis=1
             )[:, 0, :]
 
-        report("packed take_along", igtimer(packed_take, flat_idx, rotate,
+        report("packed take_along", igtimer(packed_take, tp, flat_idx, rotate,
                                             args.iters))
 
         tpb = jax.jit(lambda t: t.astype(jnp.bfloat16))(tp)
         jax.block_until_ready(tpb)
 
-        def packed_bf16(i):
-            rows = jnp.take(tpb, i // pack, axis=0)
+        def packed_bf16(t, i):
+            rows = jnp.take(t, i // pack, axis=0)
             g = jax.nn.one_hot(i % pack, pack, dtype=jnp.bfloat16)
             return jnp.einsum(
                 "cpd,cp->cd", rows.reshape(-1, pack, d), g,
                 preferred_element_type=jnp.float32,
             )
 
-        report("packed bf16 einsum", igtimer(packed_bf16, flat_idx, rotate,
-                                             args.iters))
+        report("packed bf16 einsum", igtimer(packed_bf16, tpb, flat_idx,
+                                             rotate, args.iters))
 
     if want("onehot"):
         # one-hot matmul feasibility for a small table (2048 rows)
         small_n = 2048
         small = table[:small_n]
 
-        def onehot_lookup(i):
+        def onehot_lookup(t, i):
             ids = i % small_n
             oh = jax.nn.one_hot(ids, small_n, dtype=jnp.float32)
-            return jnp.dot(oh, small, preferred_element_type=jnp.float32)
+            return jnp.dot(oh, t, preferred_element_type=jnp.float32)
 
-        report("onehot 2048-row", igtimer(onehot_lookup, flat_idx, rotate,
-                                          max(2, args.iters // 4)))
+        report("onehot 2048-row", igtimer(onehot_lookup, small, flat_idx,
+                                          rotate, max(2, args.iters // 4)))
 
     if results:
         best = min(results, key=results.get)

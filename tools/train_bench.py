@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--optimizer", default="row_adagrad",
                     choices=["sgd", "row_adagrad"])
+    ap.add_argument("--hybrid", action="store_true",
+                    help="MXU small-table + lane-packed gather big-table "
+                         "embedding collection")
     args = ap.parse_args()
 
     import jax
@@ -37,8 +40,8 @@ def main():
     from pim_embedding_lookup_tpu.models import DLRM
     from pim_embedding_lookup_tpu.models.dlrm import bce_loss
     from pim_embedding_lookup_tpu.models.sparse_train import make_sparse_train_state
+    from pim_embedding_lookup_tpu.models.sparse_train import _apply_sparse
     from pim_embedding_lookup_tpu.parallel import make_mesh
-    from pim_embedding_lookup_tpu.parallel.sparse_update import sparse_update
 
     cfg = {"kaggle": kaggle_config, "random": random_config, "toy": toy_config}[
         args.config
@@ -47,7 +50,7 @@ def main():
     policy = (
         ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
     )
-    model = DLRM(cfg, mesh, policy)
+    model = DLRM(cfg, mesh, policy, hybrid=args.hybrid)
     params = model.init(jax.random.PRNGKey(0))
     jax.block_until_ready(params["emb"])
     print("init done", file=sys.stderr)
@@ -85,8 +88,9 @@ def main():
         )
         updates, os_ = dense_opt.update(g_dense, os_, dp)
         dp = optax.apply_updates(dp, updates)
-        emb, acc = sparse_update(
-            coll, emb, acc, idx_i, mask, g_pooled, lr=lr, optimizer=args.optimizer
+        emb, acc = _apply_sparse(
+            coll, emb, acc, idx_i, mask, g_pooled,
+            lr=lr, optimizer=args.optimizer, eps=1e-8,
         )
         return emb, acc, dp, os_, loss
 
