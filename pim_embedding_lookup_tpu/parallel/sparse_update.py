@@ -59,7 +59,9 @@ def _scatter_step(emb_shard, local, step, pack):
     lane-group one-hot, then scatter at local//pack (oob maps exactly to
     the storage row count — still dropped)."""
     if pack == 1:
-        return emb_shard.at[local].add(step.astype(emb_shard.dtype), mode="drop")
+        return emb_shard.at[local].add(
+            step.astype(emb_shard.dtype), mode="drop"
+        )
     goh = jax.nn.one_hot(local % pack, pack, dtype=step.dtype)  # [C, pack]
     upd = jnp.einsum("cp,cd->cpd", goh, step).reshape(step.shape[0], -1)
     return emb_shard.at[local // pack].add(
@@ -93,6 +95,11 @@ def _apply_local(
     local = jnp.where(
         (local >= 0) & (local < rows_per_shard) & valid, local, oob
     )
+    # NOTE on sorting: fully-random scatter ids run ~1.8x faster when
+    # pre-sorted (tools/kernel_lab.py --only scatter), but measured END TO
+    # END the argsort + update permute made the train step ~20% SLOWER —
+    # training entries arrive grouped by table (partially sorted by fused
+    # offset) so the locality is already there.  Keep the natural order.
     if use_adagrad:
         # row-wise adagrad: acc[r] += mean_d(g^2); step = lr/sqrt(acc+eps).
         # acc is 1-D [rows] (per FUSED row even when storage is packed) —

@@ -230,3 +230,53 @@ def test_hybrid_packed_end_to_end(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(op), oracle_pooled(tables_np, idx3, mask3), rtol=5e-2, atol=5e-2
     )
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "row_adagrad"])
+def test_hybrid_mxu_small_update_parity(mesh, rng, optimizer):
+    """The hybrid small-set MXU update (onehot^T matmul densified grads)
+    matches the entry-wise scatter path to bf16 matmul precision."""
+    from pim_embedding_lookup_tpu.parallel.hybrid import (
+        HybridEmbeddingCollection,
+        init_accumulator_hybrid,
+        sparse_update_hybrid,
+    )
+
+    tables = (
+        TableConfig(num_rows=50, dim=16, name="s0"),
+        TableConfig(num_rows=300, dim=16, name="s1"),
+        TableConfig(num_rows=20000, dim=16, name="b0"),
+    )
+    hyb = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW, mxu_threshold=1000
+    )
+    plain = EmbeddingCollection.create(tables, mesh, ShardingPolicy.REPLICATE)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    ph = hyb.device_put_tables(tables_np)
+    pf = plain.device_put_tables(tables_np)
+    ah = init_accumulator_hybrid(hyb)
+    af = init_accumulator(plain)
+    idx, mask, _, _ = make_query(rng, tables, b=8, l=4)
+    g_pooled = jnp.asarray(
+        rng.standard_normal((8, len(tables), 16)).astype(np.float32)
+    )
+    ph, ah = sparse_update_hybrid(
+        hyb, ph, ah, idx, mask, g_pooled, lr=0.1, optimizer=optimizer
+    )
+    pf, af = sparse_update(
+        plain, pf, af, idx, mask, g_pooled, lr=0.1, optimizer=optimizer
+    )
+    got = np.asarray(ph["small"])
+    want = np.asarray(pf)
+    for t_hyb, t_orig in enumerate(hyb.small_ids):
+        off_h = hyb.small.layout.row_offsets[t_hyb]
+        rows = hyb.small.layout.table_rows[t_hyb]
+        off_p = plain.layout.row_offsets[t_orig]
+        np.testing.assert_allclose(
+            got[off_h : off_h + rows],
+            want[off_p : off_p + rows],
+            rtol=2e-2, atol=2e-2,  # bf16 matmul operands
+        )

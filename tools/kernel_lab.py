@@ -176,6 +176,170 @@ def main():
         report("packed bf16 einsum", igtimer(packed_bf16, tpb, flat_idx,
                                              rotate, args.iters))
 
+    if want("scatter") and 128 % d == 0 and d < 128:
+        # Scatter-add experiments on packed storage [S, 128]: the training
+        # bottleneck (measured ~120ns/entry vs ~16ns/entry gathers).
+        pack = 128 // d
+        npad = (n + pack - 1) // pack * pack
+        S = npad // pack
+        tp = jax.jit(
+            lambda k: jax.random.uniform(k, (S, 128), jnp.float32, -0.1, 0.1)
+        )(key)
+        jax.block_until_ready(tp)
+        upd128 = jnp.asarray(
+            rng.standard_normal((c, 128)).astype(np.float32) * 1e-4
+        )
+        upd_d = jnp.asarray(
+            rng.standard_normal((c, d)).astype(np.float32) * 1e-4
+        )
+
+        def sctimer(step_fn, iters):
+            # updates passed as jit ARGS (a 109MB closed-over constant would
+            # ship through the remote compiler)
+            @jax.jit
+            def loop(tbl, idx, u128, ud, nn):
+                def body(i, carry):
+                    tbl, idx_i = carry
+                    return step_fn(tbl, idx_i, u128, ud), rotate(idx_i)
+
+                tbl, _ = jax.lax.fori_loop(0, nn, body, (tbl, idx))
+                return jnp.sum(tbl[:8])
+
+            jax.block_until_ready(loop(tp, flat_idx, upd128, upd_d, 2))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(tp, flat_idx, upd128, upd_d, iters))
+            return (time.perf_counter() - t0) / iters
+
+        def raw_scatter(tbl, i, u128, ud):
+            return tbl.at[i // pack].add(u128, mode="drop")
+
+        report("scatter raw128", sctimer(raw_scatter, args.iters))
+
+        def expand_scatter(tbl, i, u128, ud):
+            goh = jax.nn.one_hot(i % pack, pack, dtype=jnp.float32)
+            u = jnp.einsum("cp,cd->cpd", goh, ud).reshape(c, 128)
+            return tbl.at[i // pack].add(u, mode="drop")
+
+        report("scatter onehot-expand", sctimer(expand_scatter, args.iters))
+
+        def sorted_scatter(tbl, i, u128, ud):
+            si = jnp.sort(i)
+            return tbl.at[si // pack].add(
+                u128, mode="drop", indices_are_sorted=True
+            )
+
+        report("scatter sorted", sctimer(sorted_scatter, args.iters))
+
+        def dedup_scatter(tbl, i, u128, ud):
+            order = jnp.argsort(i)
+            sid = jnp.take(i, order) // pack
+            su = jnp.take(u128, order, axis=0)
+            newseg = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 (sid[1:] != sid[:-1]).astype(jnp.int32)]
+            )
+            seg = jnp.cumsum(newseg)
+            rows = jax.ops.segment_sum(su, seg, num_segments=c)
+            uid = jax.ops.segment_max(sid, seg, num_segments=c)
+            uid = jnp.where(uid <= 0, S, uid)  # empty segments -> drop
+            return tbl.at[uid].add(
+                rows, mode="drop", indices_are_sorted=True, unique_indices=True
+            )
+
+        report("scatter sort+dedup", sctimer(dedup_scatter, args.iters))
+
+        def adagrad_like(tbl, i, u128, ud):
+            # emulate the 3-random-op adagrad step: acc scatter + acc gather
+            # + emb scatter (acc kept f32 1-D [npad])
+            accv = jnp.zeros((npad,), jnp.float32)
+            sq = jnp.sum(ud * ud, axis=-1)
+            accv = accv.at[i].add(sq, mode="drop")
+            rows_acc = jnp.take(accv, i)
+            goh = jax.nn.one_hot(i % pack, pack, dtype=jnp.float32)
+            u = jnp.einsum(
+                "cp,cd->cpd", goh, ud * jax.lax.rsqrt(rows_acc + 1e-8)[:, None]
+            ).reshape(c, 128)
+            return tbl.at[i // pack].add(u, mode="drop")
+
+        report("scatter adagrad-like", sctimer(adagrad_like, args.iters))
+
+        def sgd_sorted_real(tbl, i, u128, ud):
+            # realistic sorted SGD: argsort + permute the d-wide updates +
+            # expand + sorted scatter
+            order = jnp.argsort(i)
+            si = jnp.take(i, order)
+            sud = jnp.take(ud, order, axis=0)
+            goh = jax.nn.one_hot(si % pack, pack, dtype=jnp.float32)
+            u = jnp.einsum("cp,cd->cpd", goh, sud).reshape(c, 128)
+            return tbl.at[si // pack].add(
+                u, mode="drop", indices_are_sorted=True
+            )
+
+        report("scatter sgd-sorted-real", sctimer(sgd_sorted_real, args.iters))
+
+        def adagrad_sorted_real(tbl, i, u128, ud):
+            order = jnp.argsort(i)
+            si = jnp.take(i, order)
+            sud = jnp.take(ud, order, axis=0)
+            accv = jnp.zeros((npad,), jnp.float32)
+            sq = jnp.sum(sud * sud, axis=-1)
+            accv = accv.at[si].add(sq, mode="drop", indices_are_sorted=True)
+            rows_acc = jnp.take(accv, si)
+            goh = jax.nn.one_hot(si % pack, pack, dtype=jnp.float32)
+            u = jnp.einsum(
+                "cp,cd->cpd", goh,
+                sud * jax.lax.rsqrt(rows_acc + 1e-8)[:, None],
+            ).reshape(c, 128)
+            return tbl.at[si // pack].add(
+                u, mode="drop", indices_are_sorted=True
+            )
+
+        report("scatter adagrad-sorted-real",
+               sctimer(adagrad_sorted_real, args.iters))
+
+        def unique_scatter(tbl, i, u128, ud):
+            # ids at 33M rows are ~unique per batch; telling XLA so lets it
+            # skip collision serialization (dup rows get undefined sums --
+            # measure first, decide semantics later)
+            return tbl.at[i // pack].add(
+                u128, mode="drop", unique_indices=True
+            )
+
+        report("scatter unique-unsafe", sctimer(unique_scatter, args.iters))
+
+        def sorted_unique_scatter(tbl, i, u128, ud):
+            si = jnp.sort(i)
+            return tbl.at[si // pack].add(
+                u128, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+
+        report("scatter sort+uniq-unsafe",
+               sctimer(sorted_unique_scatter, args.iters))
+
+        tpb2 = jax.jit(lambda t: t.astype(jnp.bfloat16))(tp)
+        jax.block_until_ready(tpb2)
+        u128b = jax.jit(lambda u: u.astype(jnp.bfloat16))(upd128)
+        jax.block_until_ready(u128b)
+
+        def bf16_scatter(tbl, i, u128, ud):
+            del tbl
+            return tpb2.at[i // pack].add(u128b, mode="drop")
+
+        @jax.jit
+        def bf16_loop(tbl, idx, nn):
+            def body(i, carry):
+                tbl, idx_i = carry
+                return tbl.at[idx_i // pack].add(u128b, mode="drop"), rotate(idx_i)
+
+            tbl, _ = jax.lax.fori_loop(0, nn, body, (tbl, idx))
+            return jnp.sum(tbl[:8].astype(jnp.float32))
+
+        jax.block_until_ready(bf16_loop(tpb2, flat_idx, 2))
+        t0 = time.perf_counter()
+        jax.block_until_ready(bf16_loop(tpb2, flat_idx, args.iters))
+        report("scatter bf16", (time.perf_counter() - t0) / args.iters)
+
     if want("onehot"):
         # one-hot matmul feasibility for a small table (2048 rows)
         small_n = 2048

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--hybrid", action="store_true",
                     help="MXU small-table + lane-packed gather big-table "
                          "embedding collection")
+    ap.add_argument("--no-packed", action="store_true",
+                    help="disable lane-packed storage (hybrid big set)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +52,18 @@ def main():
     policy = (
         ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
     )
-    model = DLRM(cfg, mesh, policy, hybrid=args.hybrid)
+    if args.hybrid:
+        from pim_embedding_lookup_tpu.parallel.hybrid import (
+            HybridEmbeddingCollection,
+        )
+
+        model = DLRM(cfg, mesh, policy, hybrid=True)
+        if args.no_packed:
+            model.collection = HybridEmbeddingCollection.create(
+                cfg.tables, mesh, policy, packed=False
+            )
+    else:
+        model = DLRM(cfg, mesh, policy)
     params = model.init(jax.random.PRNGKey(0))
     jax.block_until_ready(params["emb"])
     print("init done", file=sys.stderr)
