@@ -85,6 +85,10 @@ def cmd_train(argv):
     p.add_argument("--save-model", default="")
     p.add_argument("--load-model", default="")
     p.add_argument("--print-time", action="store_true")
+    p.add_argument("--hybrid", action="store_true",
+                   help="hybrid embedding collection: MXU one-hot matmuls "
+                        "for small tables, lane-packed sharded gather for "
+                        "big tables (fastest, docs/PERF.md)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -128,7 +132,8 @@ def cmd_train(argv):
             )
         )
 
-    model = DLRM(config, mesh, ShardingPolicy(args.sharding))
+    model = DLRM(config, mesh, ShardingPolicy(args.sharding),
+                 hybrid=args.hybrid)
     params = model.init(jax.random.PRNGKey(args.seed))
     if args.load_model:
         params = checkpoint.restore(args.load_model, params)

@@ -363,28 +363,82 @@ def _gather_f32(table, ids, pack):
     )
 
 
+# Per-step budget for the gathered-rows intermediate inside a pooled
+# lookup.  XLA does not fuse a big gather into the pooling reduction, so
+# [T, Bs*L, row_bytes] materializes in HBM: at multi-hot scale (e.g. 32
+# tables x batch 8192 x pooling 120) that is ~16GB -> OOM.  Above the
+# budget the lookup scans over bag chunks (static shapes, one compile).
+_POOL_CHUNK_BYTES = 256 << 20
+
+
+def _chunk_bags(pooling, row_bytes, t, c):
+    """Pick bags-per-chunk nb (a divisor of B) so one chunk's gathered rows
+    stay under budget; returns (num_chunks, nb) or None for no chunking."""
+    b = c // pooling
+    if t * c * row_bytes <= _POOL_CHUNK_BYTES or b == 1:
+        return None
+    nb = max(1, _POOL_CHUNK_BYTES // (t * pooling * row_bytes))
+    nb = min(b, nb)
+    while b % nb:
+        nb -= 1
+    return b // nb, nb
+
+
+def _scan_pooled(pool_fn, pooling, row_bytes, g_idx, mask):
+    """pool_fn([T, nb*L], [T, nb*L]) -> [nb, T, D]; scans bag chunks."""
+    t, c = g_idx.shape
+    chunks = _chunk_bags(pooling, row_bytes, t, c)
+    if chunks is None:
+        return pool_fn(g_idx, mask)
+    bb, nb = chunks
+    g4 = jnp.transpose(g_idx.reshape(t, bb, nb * pooling), (1, 0, 2))
+    m4 = jnp.transpose(mask.reshape(t, bb, nb * pooling), (1, 0, 2))
+
+    def step(carry, gm):
+        gi, mi = gm
+        return carry, pool_fn(gi, mi)
+
+    _, outs = jax.lax.scan(step, None, (g4, m4))  # [bb, nb, T, D]
+    return outs.reshape(bb * nb, t, -1)
+
+
+def _row_bytes(table, pack):
+    del pack  # storage width already includes the pack factor
+    return table.shape[-1] * table.dtype.itemsize
+
+
 def _local_pooled_lookup(pooling, pack, table, g_idx, mask):
     """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool.
 
     Accumulates in f32 regardless of storage dtype (bf16 tables halve HBM
     traffic; the pool must not lose precision — the analog of the DPU's
     full-width int32 accumulate, emb_dpu_lookup.c:114)."""
-    t, c = g_idx.shape
-    rows = _gather_f32(table, g_idx, pack)  # [T, Bs*L, D] f32
-    rows = rows * mask[..., None].astype(rows.dtype)
-    pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
-    return jnp.transpose(pooled, (1, 0, 2))
+
+    def pool(gi, mi):
+        t, c = gi.shape
+        rows = _gather_f32(table, gi, pack)  # [T, nb*L, D] f32
+        rows = rows * mi[..., None].astype(rows.dtype)
+        pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
+        return jnp.transpose(pooled, (1, 0, 2))
+
+    return _scan_pooled(pool, pooling, _row_bytes(table, pack), g_idx, mask)
 
 
 def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, table_shard, g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
     start = shard * rows_per_shard  # pack-aligned by the planner
-    local = g_idx - start
-    owned = (local >= 0) & (local < rows_per_shard) & mask
-    local = jnp.where(owned, local, 0)
-    t, c = g_idx.shape
-    rows = _gather_f32(table_shard, local, pack)
-    rows = rows * owned[..., None].astype(rows.dtype)
-    pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
-    pooled = jnp.transpose(pooled, (1, 0, 2))
+
+    def pool(gi, mi):
+        t, c = gi.shape
+        local = gi - start
+        owned = (local >= 0) & (local < rows_per_shard) & mi
+        local = jnp.where(owned, local, 0)
+        rows = _gather_f32(table_shard, local, pack)
+        rows = rows * owned[..., None].astype(rows.dtype)
+        pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
+        return jnp.transpose(pooled, (1, 0, 2))
+
+    pooled = _scan_pooled(
+        pool, pooling, _row_bytes(table_shard, pack), g_idx, mask
+    )
     return jax.lax.psum(pooled, MODEL_AXIS)

@@ -280,3 +280,24 @@ def test_hybrid_mxu_small_update_parity(mesh, rng, optimizer):
             want[off_p : off_p + rows],
             rtol=2e-2, atol=2e-2,  # bf16 matmul operands
         )
+
+
+@pytest.mark.parametrize("policy", [ShardingPolicy.ROW, ShardingPolicy.REPLICATE])
+def test_chunked_pooled_lookup_parity(mesh, rng, policy, monkeypatch):
+    """Force the bag-chunked scan path (big multi-hot intermediates OOM
+    without it) and check parity against the oracle."""
+    import pim_embedding_lookup_tpu.parallel.collection as cmod
+
+    monkeypatch.setattr(cmod, "_POOL_CHUNK_BYTES", 4096)  # force chunking
+    tables = TABLES16
+    coll = EmbeddingCollection.create(tables, mesh, policy, packed=True)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
+    assert cmod._chunk_bags(5, 128 * 4, len(tables), 16 * 5) is not None
+    out = coll.lookup(fused, idx, mask, batch_size=16)
+    expected = oracle_pooled(tables_np, idx3, mask3)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)

@@ -340,6 +340,31 @@ def main():
         jax.block_until_ready(bf16_loop(tpb2, flat_idx, args.iters))
         report("scatter bf16", (time.perf_counter() - t0) / args.iters)
 
+    if want("wide") and d < 128 and 128 % d == 0:
+        # Does gather cost stay flat as storage rows widen past 128 lanes?
+        # If yes, pack=width/d rows per issue cuts issue count further.
+        for width in (128, 256, 512, 1024):
+            pk = width // d
+            S = (n + pk - 1) // pk
+            tw = jax.jit(
+                lambda k, S=S, width=width: jax.random.uniform(
+                    k, (S, width), jnp.float32, -0.1, 0.1
+                )
+            )(key)
+            jax.block_until_ready(tw)
+
+            def wide_lookup(t_, i, pk=pk, S=S):
+                rows = jnp.take(t_, (i // pk) % S, axis=0)  # [c, width]
+                g = jax.nn.one_hot(i % pk, pk, dtype=jnp.float32)
+                return jnp.einsum(
+                    "cpd,cp->cd", rows.reshape(c, pk, d), g,
+                    preferred_element_type=jnp.float32,
+                )
+
+            report(f"wide w={width} pack={pk}",
+                   igtimer(wide_lookup, tw, flat_idx, rotate, args.iters))
+            del tw
+
     if want("onehot"):
         # one-hot matmul feasibility for a small table (2048 rows)
         small_n = 2048
