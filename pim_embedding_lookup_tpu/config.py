@@ -40,6 +40,9 @@ class ShardingPolicy(str, enum.Enum):
 
     REPLICATE = "replicate"  # whole table on every model-shard
     ROW = "row"              # contiguous row ranges per shard + psum merge
+    ROW_HASH = "row_hash"    # strided rows (owner = id % shards): balances
+                             # ownership of every table >= shards rows, the
+                             # fix for power-law/layout skew (SURVEY.md §7c)
     COLUMN = "column"        # dim split per shard + concat/all-gather merge
     TABLE_WISE = "table_wise"  # whole tables round-robined over shards
     AUTO = "auto"            # planner decides per table

@@ -102,6 +102,9 @@ class EmbeddingCollection:
         ends, scales = self._sorted_table_ends()
         lay = self.layout
         pack, dim = lay.pack, lay.dim
+        strided = lay.policy == ShardingPolicy.ROW_HASH
+        m = lay.num_shards
+        srows_per_shard = lay.rows_per_shard // pack
 
         def make(k):
             # generate in f32, cast once at the end — low-precision uniform/
@@ -110,27 +113,24 @@ class EmbeddingCollection:
                 k, (lay.storage_rows, lay.storage_width), jnp.float32,
                 -1.0, 1.0,
             )
-            if pack == 1:
-                row = jnp.arange(lay.total_rows, dtype=jnp.int32)
-                tid = jnp.searchsorted(jnp.asarray(ends), row, side="right")
-                scale = jnp.take(
-                    jnp.asarray(scales, dtype=jnp.float32),
-                    jnp.minimum(tid, len(lay.table_rows) - 1),
-                )[:, None]
-            else:
-                # fused row of lane (p, l) is p*pack + l//dim; all fully
-                # fused elementwise — nothing materializes besides u.
-                shape = (lay.storage_rows, lay.storage_width)
-                p = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                frow = p * pack + lane // dim
-                tid = jnp.searchsorted(
-                    jnp.asarray(ends), frow.reshape(-1), side="right"
-                ).reshape(shape)
-                scale = jnp.take(
-                    jnp.asarray(scales, dtype=jnp.float32),
-                    jnp.minimum(tid, len(lay.table_rows) - 1),
-                )
+            # fused id of storage position (q, l): shard s = q // (rps/pack),
+            # owner-local row j = (q % (rps/pack))*pack + l//dim; contiguous
+            # layouts map j back as g = s*rps + j, strided (ROW_HASH) as
+            # g = j*m + s.  All fully fused elementwise — nothing
+            # materializes besides u.
+            shape = (lay.storage_rows, lay.storage_width)
+            q = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            s = q // srows_per_shard
+            j = (q % srows_per_shard) * pack + lane // dim
+            frow = j * m + s if strided else s * lay.rows_per_shard + j
+            tid = jnp.searchsorted(
+                jnp.asarray(ends), frow.reshape(-1), side="right"
+            ).reshape(shape)
+            scale = jnp.take(
+                jnp.asarray(scales, dtype=jnp.float32),
+                jnp.minimum(tid, len(lay.table_rows) - 1),
+            )
             return (u * scale).astype(dtype)
 
         return jax.jit(make, out_shardings=self.table_sharding)(key)
@@ -149,14 +149,22 @@ class EmbeddingCollection:
     def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> jax.Array:
         """Load pre-existing per-table weights (populate_mram parity path,
         emb_host.h:136: host pushes externally-built table data)."""
-        fused = np.zeros((self.layout.total_rows, self.layout.dim), np.float32)
+        lay = self.layout
+        fused = np.zeros((lay.total_rows, lay.dim), np.float32)
         for arr, off, rows in zip(
-            host_tables, self.layout.row_offsets, self.layout.table_rows
+            host_tables, lay.row_offsets, lay.table_rows
         ):
-            if arr.shape != (rows, self.layout.dim):
-                raise ValueError(f"table shape {arr.shape} != {(rows, self.layout.dim)}")
+            if arr.shape != (rows, lay.dim):
+                raise ValueError(f"table shape {arr.shape} != {(rows, lay.dim)}")
             fused[off : off + rows] = arr
-        fused = fused.reshape(self.layout.storage_rows, self.layout.storage_width)
+        if lay.policy == ShardingPolicy.ROW_HASH:
+            # strided placement: shard s's local row j holds fused row j*m+s
+            m, rps = lay.num_shards, lay.rows_per_shard
+            perm = (
+                np.arange(rps)[None, :] * m + np.arange(m)[:, None]
+            ).reshape(-1)
+            fused = fused[perm]
+        fused = fused.reshape(lay.storage_rows, lay.storage_width)
         return jax.device_put(jnp.asarray(fused), self.table_sharding)
 
     # -- query globalization ------------------------------------------------
@@ -195,10 +203,15 @@ class EmbeddingCollection:
             self.layout.rows_per_shard,
             c // b,
             self.layout.pack,
+            self.layout.policy == ShardingPolicy.ROW_HASH,
             fused_table,
             g_idx,
             mask,
         )
+
+    @property
+    def _strided(self) -> bool:
+        return self.layout.policy == ShardingPolicy.ROW_HASH
 
 
     def lookup_csr(
@@ -229,21 +242,75 @@ class EmbeddingCollection:
             self.layout.rows_per_shard,
             b,
             self.layout.pack,
+            self.layout.policy == ShardingPolicy.ROW_HASH,
             fused_table,
             g_idx,
             seg.astype(jnp.int32),
         )
 
+    def lookup_routed(
+        self,
+        fused_table: jax.Array,
+        indices: jax.Array,  # [T, B*L] local (per-table) ids
+        mask: jax.Array,  # [T, B*L]
+        *,
+        batch_size: int | None = None,
+        capacity_factor: float = 2.0,
+    ) -> jax.Array:
+        """Pooled SUM lookup with all-to-all ID ROUTING (ROW/TABLE_WISE).
+
+        The default ``lookup`` broadcasts every query to every model shard
+        and masks by ownership — simple, but each shard still issues the
+        full C gathers, so model sharding buys table CAPACITY, not lookup
+        throughput (gathers are issue-rate bound).  This variant is the
+        SURVEY.md §2c design: entries are split over the model axis, each
+        device routes its slice to the owning shards through a
+        capacity-bucketed all_to_all (the TPU analog of the reference
+        broadcasting indices to a table's DPUs, emb_host.h:258-263), each
+        shard gathers only the ~E/M ids it owns, rows ride an all_to_all
+        back, and pooled partials psum-merge.  Per-device gather issues
+        drop from E to ~E/M — true multi-chip lookup scaling.
+
+        ``capacity_factor``: each (src, dst) bucket holds
+        ceil(cf * E_slice / M) entries; overflow entries are DROPPED
+        (contribute zero to the pooled sum).  Uniform-hash row sharding
+        keeps loads balanced, so cf=2 makes drops vanishingly rare; parity
+        tests run at the default and require exactness.
+        """
+        if not _rowish(self.layout.policy):
+            raise ValueError(
+                "lookup_routed requires ROW/ROW_HASH/TABLE_WISE sharding"
+            )
+        t, c = indices.shape
+        b = batch_size if batch_size is not None else c
+        if c % b:
+            raise ValueError(f"capacity {c} not divisible by batch {b}")
+        g_idx = self.globalize(indices)
+        return _lookup_routed_dispatch(
+            self.mesh,
+            self.layout.rows_per_shard,
+            c // b,
+            self.layout.pack,
+            float(capacity_factor),
+            self.layout.policy == ShardingPolicy.ROW_HASH,
+            fused_table,
+            g_idx,
+            mask,
+        )
+
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "batch", "pack")
+    jax.jit,
+    static_argnames=(
+        "mesh", "policy", "rows_per_shard", "batch", "pack", "strided"
+    ),
 )
 def _lookup_csr_dispatch(
-    mesh, policy, rows_per_shard, batch, pack, fused_table, g_idx, seg
+    mesh, policy, rows_per_shard, batch, pack, strided, fused_table, g_idx, seg
 ):
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None, pack),
+            functools.partial(_csr_pooled_lookup, batch, None, pack, False, 1),
             mesh=mesh,
             in_specs=(P(None, MODEL_AXIS), P(), P()),
             out_specs=P(None, None, MODEL_AXIS),
@@ -251,14 +318,17 @@ def _lookup_csr_dispatch(
         return fn(fused_table, g_idx, seg)
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None, pack),
+            functools.partial(_csr_pooled_lookup, batch, None, pack, False, 1),
             mesh=mesh,
             in_specs=(P(), P(), P()),
             out_specs=P(None, None, None),
             check_vma=False,  # identical on all shards by construction
         )
         return fn(fused_table, g_idx, seg)
-    local = functools.partial(_csr_pooled_lookup, batch, rows_per_shard, pack)
+    local = functools.partial(
+        _csr_pooled_lookup, batch, rows_per_shard, pack, strided,
+        mesh.shape[MODEL_AXIS],
+    )
     fn = shard_map(
         local,
         mesh=mesh,
@@ -269,15 +339,17 @@ def _lookup_csr_dispatch(
     return fn(fused_table, g_idx, seg)
 
 
-def _csr_pooled_lookup(batch, rows_per_shard, pack, table_shard, g_idx, seg):
+def _csr_pooled_lookup(batch, rows_per_shard, pack, strided, num_shards,
+                       table_shard, g_idx, seg):
     """[rows, D], [T, C], [T, C] -> [B, T, D] segment-sum pooled lookup."""
     t, c = g_idx.shape
     valid = seg < batch
     if rows_per_shard is not None:
         shard = jax.lax.axis_index(MODEL_AXIS)
-        start = shard * rows_per_shard
-        local = g_idx - start
-        owned = (local >= 0) & (local < rows_per_shard) & valid
+        owner, local = _owner_local(
+            g_idx, rows_per_shard, num_shards, strided
+        )
+        owned = (owner == shard) & (local < rows_per_shard) & valid
         local = jnp.where(owned, local, 0)
     else:
         local = g_idx
@@ -296,11 +368,35 @@ def _csr_pooled_lookup(batch, rows_per_shard, pack, table_shard, g_idx, seg):
     return pooled
 
 
+def _rowish(policy):
+    return policy in (
+        ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.TABLE_WISE
+    )
+
+
+def _owner_local(g, rows_per_shard, num_shards, strided):
+    """(owner shard, owner-local row id) for fused ids ``g``.
+
+    Contiguous (ROW/TABLE_WISE): owner = g // rows_per_shard.
+    Strided (ROW_HASH):          owner = g % num_shards, local = g // num_shards
+    — hashes every table's rows across all shards, fixing the ownership
+    skew of layout-contiguous sharding (small tables otherwise land wholly
+    on one shard; SURVEY.md §7 hard part (c))."""
+    if strided:
+        return g % num_shards, g // num_shards
+    owner = g // rows_per_shard
+    return owner, g - owner * rows_per_shard
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "policy", "rows_per_shard", "pooling", "pack")
+    jax.jit,
+    static_argnames=(
+        "mesh", "policy", "rows_per_shard", "pooling", "pack", "strided"
+    ),
 )
 def _lookup_dispatch(
-    mesh, policy, rows_per_shard, pooling, pack, fused_table, g_idx, mask
+    mesh, policy, rows_per_shard, pooling, pack, strided, fused_table, g_idx,
+    mask
 ):
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
@@ -326,10 +422,12 @@ def _lookup_dispatch(
         )
         return fn(fused_table, g_idx, mask)
 
-    # ROW / TABLE_WISE: ownership-masked local pool + psum merge — the
-    # reduce-scatter/all-reduce replacing the host-side post_process merge.
+    # ROW(_HASH) / TABLE_WISE: ownership-masked local pool + psum merge —
+    # the reduce-scatter/all-reduce replacing the host-side post_process
+    # merge.
     local = functools.partial(
-        _rowshard_pooled_lookup, rows_per_shard, pooling, pack
+        _rowshard_pooled_lookup, rows_per_shard, pooling, pack, strided,
+        mesh.shape[MODEL_AXIS],
     )
     fn = shard_map(
         local,
@@ -424,14 +522,14 @@ def _local_pooled_lookup(pooling, pack, table, g_idx, mask):
     return _scan_pooled(pool, pooling, _row_bytes(table, pack), g_idx, mask)
 
 
-def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, table_shard, g_idx, mask):
+def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, strided,
+                            num_shards, table_shard, g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
-    start = shard * rows_per_shard  # pack-aligned by the planner
 
     def pool(gi, mi):
         t, c = gi.shape
-        local = gi - start
-        owned = (local >= 0) & (local < rows_per_shard) & mi
+        owner, local = _owner_local(gi, rows_per_shard, num_shards, strided)
+        owned = (owner == shard) & (local < rows_per_shard) & mi
         local = jnp.where(owned, local, 0)
         rows = _gather_f32(table_shard, local, pack)
         rows = rows * owned[..., None].astype(rows.dtype)
@@ -441,4 +539,98 @@ def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, table_shard, g_idx, m
     pooled = _scan_pooled(
         pool, pooling, _row_bytes(table_shard, pack), g_idx, mask
     )
+    return jax.lax.psum(pooled, MODEL_AXIS)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_per_shard", "pooling", "pack", "cf", "strided"
+    ),
+)
+def _lookup_routed_dispatch(
+    mesh, rows_per_shard, pooling, pack, cf, strided, fused_table, g_idx, mask
+):
+    m = mesh.shape[MODEL_AXIS]
+    local = functools.partial(
+        _routed_pooled_lookup, rows_per_shard, pooling, pack, cf, m, strided
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+    )
+    return fn(fused_table, g_idx, mask)
+
+
+def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
+                          table_shard, g_idx, mask):
+    """Per-device body of lookup_routed.  See the method docstring.
+
+    Shapes (per device): table_shard [rps/pack, width]; g_idx/mask [T, Cd]
+    (replicated over model within a data row).  Device mi processes the
+    mi-th slice of the T*Cd entries; pooled partials psum over model.
+    """
+    t, cd = g_idx.shape
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    e_total = t * cd
+    em = -(-e_total // m)  # entries per device (ceil)
+    pad = em * m - e_total
+
+    g = g_idx.reshape(-1)
+    v = mask.reshape(-1)
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
+    gs = jax.lax.dynamic_slice_in_dim(g, mi * em, em)
+    vs = jax.lax.dynamic_slice_in_dim(v, mi * em, em)
+
+    owner, local_ids = _owner_local(gs, rows_per_shard, m, strided)
+    owner = jnp.clip(owner, 0, m - 1)  # [Em]
+    # position of each entry within its destination bucket
+    oh = (jax.nn.one_hot(owner, m, dtype=jnp.int32)
+          * vs[:, None].astype(jnp.int32))  # [Em, M]
+    cum = jnp.cumsum(oh, axis=0) - oh
+    pos = jnp.take_along_axis(cum, owner[:, None], axis=1)[:, 0]  # [Em]
+    k = max(8, -(-int(cf * em) // m))  # bucket capacity per (src, dst)
+    ok = vs & (pos < k)
+    slot = jnp.where(ok, owner * k + pos, m * k)  # oob -> dropped
+
+    # dispatch: owner-local row ids, sentinel rows_per_shard for empty slots
+    send = jnp.full((m * k,), rows_per_shard, dtype=gs.dtype)
+    send = send.at[slot].set(local_ids, mode="drop")
+    recv = jax.lax.all_to_all(
+        send.reshape(m, k), MODEL_AXIS, split_axis=0, concat_axis=0
+    ).reshape(m * k)  # ids I own, one k-block per source device
+
+    rows = _gather_f32(
+        table_shard, jnp.minimum(recv, rows_per_shard - 1), pack
+    )  # [M*K, D]
+    rows = rows * (recv < rows_per_shard)[:, None].astype(rows.dtype)
+
+    # return trip: back[o, kk] = row my slot (o, kk) asked owner o for
+    d = rows.shape[-1]
+    back = jax.lax.all_to_all(
+        rows.reshape(m, k, d), MODEL_AXIS, split_axis=0, concat_axis=0
+    ).reshape(m * k, d)
+    zero_row = jnp.zeros((1, d), back.dtype)
+    rows_e = jnp.take(
+        jnp.concatenate([back, zero_row]), jnp.minimum(slot, m * k), axis=0
+    )  # [Em, D]; dropped/invalid entries -> 0
+
+    # pooled partial: entry (global index e) belongs to (table e//Cd,
+    # bag (e%Cd)//L); bags sum partials across devices via psum
+    bd = cd // pooling
+    e_ids = mi * em + jnp.arange(em, dtype=jnp.int32)
+    tt = jnp.minimum(e_ids // cd, t - 1)
+    bag = (e_ids % cd) // pooling
+    seg = tt * bd + bag  # [Em] in [0, T*Bd)
+    pooled = jax.ops.segment_sum(rows_e, seg, num_segments=t * bd)
+    pooled = pooled.reshape(t, bd, d)
+    pooled = jnp.transpose(pooled, (1, 0, 2))
     return jax.lax.psum(pooled, MODEL_AXIS)

@@ -133,7 +133,7 @@ def plan(
     for t in tables:
         offsets.append(acc)
         acc += t.num_rows
-    if policy == ShardingPolicy.ROW:
+    if policy in (ShardingPolicy.ROW, ShardingPolicy.ROW_HASH):
         # Sublane-align each shard's slice to keep gathers tile-friendly.
         total = _round_up(acc, num_shards * align)
     else:

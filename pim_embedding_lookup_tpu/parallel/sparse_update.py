@@ -80,21 +80,25 @@ def _apply_local(
     rows_per_shard: int,
     pack: int,
     row_offset_from_axis: bool,
+    strided: bool,
+    num_shards: int,
     lr: float,
     eps: float,
     use_adagrad: bool,
     psum_sq_over_model: bool,
 ):
+    from .collection import _owner_local
+
     ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
     if row_offset_from_axis:
-        start = jax.lax.axis_index(MODEL_AXIS) * rows_per_shard
-        local = ids - start
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        owner, local = _owner_local(ids, rows_per_shard, num_shards, strided)
+        owned = (owner == shard) & (local < rows_per_shard) & valid
     else:
         local = ids
+        owned = (local >= 0) & (local < rows_per_shard) & valid
     oob = rows_per_shard  # scatter mode=drop discards out-of-range rows
-    local = jnp.where(
-        (local >= 0) & (local < rows_per_shard) & valid, local, oob
-    )
+    local = jnp.where(owned, local, oob)
     # NOTE on sorting: fully-random scatter ids run ~1.8x faster when
     # pre-sorted (tools/kernel_lab.py --only scatter), but measured END TO
     # END the argsort + update permute made the train step ~20% SLOWER —
@@ -146,7 +150,9 @@ def sparse_update(
     mesh = coll.mesh
     rps = coll.layout.rows_per_shard
     column = policy == ShardingPolicy.COLUMN
-    rowish = policy in (ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE)
+    rowish = policy in (
+        ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.TABLE_WISE
+    )
 
     emb_spec = (
         P(None, MODEL_AXIS) if column
@@ -164,6 +170,8 @@ def sparse_update(
             rows_per_shard=rps if rowish else coll.layout.total_rows,
             pack=coll.layout.pack,
             row_offset_from_axis=rowish,
+            strided=coll.layout.policy == ShardingPolicy.ROW_HASH,
+            num_shards=coll.layout.num_shards,
             lr=lr, eps=eps, use_adagrad=use_adagrad,
             psum_sq_over_model=column and use_adagrad,
         )
@@ -186,7 +194,9 @@ def sparse_update(
 
 def init_accumulator(coll: EmbeddingCollection) -> jax.Array:
     """Row-wise adagrad accumulator (1-D [rows]), sharded like table rows."""
-    rowish = coll.layout.policy in (ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE)
+    rowish = coll.layout.policy in (
+        ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.TABLE_WISE
+    )
     spec = P(MODEL_AXIS) if rowish else P()
     sharding = jax.sharding.NamedSharding(coll.mesh, spec)
     return jax.jit(

@@ -92,7 +92,12 @@ def test_plan_packed_alignment():
 
 @pytest.mark.parametrize(
     "policy",
-    [ShardingPolicy.REPLICATE, ShardingPolicy.ROW, ShardingPolicy.TABLE_WISE],
+    [
+        ShardingPolicy.REPLICATE,
+        ShardingPolicy.ROW,
+        ShardingPolicy.ROW_HASH,
+        ShardingPolicy.TABLE_WISE,
+    ],
 )
 @pytest.mark.parametrize("dim", [16, 64])
 def test_packed_lookup_parity(mesh, rng, policy, dim):
@@ -154,7 +159,8 @@ def test_packed_init_scales(mesh):
 
 @pytest.mark.parametrize("optimizer", ["sgd", "row_adagrad"])
 @pytest.mark.parametrize(
-    "policy", [ShardingPolicy.ROW, ShardingPolicy.REPLICATE]
+    "policy",
+    [ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.REPLICATE],
 )
 def test_packed_sparse_update_parity(mesh, rng, policy, optimizer):
     """Packed and unpacked collections apply identical optimizer steps."""
@@ -181,9 +187,20 @@ def test_packed_sparse_update_parity(mesh, rng, policy, optimizer):
         plain, f_plain, a_plain, idx, mask, g_pooled,
         lr=0.1, optimizer=optimizer,
     )
-    up = np.asarray(f_packed).reshape(packed.layout.total_rows, 16)
-    pl = np.asarray(f_plain)
-    n = min(packed.layout.total_rows, plain.layout.total_rows)
+    def to_fused_order(coll_, arr):
+        arr = np.asarray(arr).reshape(coll_.layout.total_rows, 16)
+        if coll_.layout.policy == ShardingPolicy.ROW_HASH:
+            m, rps = coll_.layout.num_shards, coll_.layout.rows_per_shard
+            perm = (
+                np.arange(rps)[None, :] * m + np.arange(m)[:, None]
+            ).reshape(-1)
+            out = np.empty_like(arr)
+            out[perm] = arr  # position s*rps+j holds fused row j*m+s
+            return out
+        return arr
+
+    up = to_fused_order(packed, f_packed)
+    pl = to_fused_order(plain, f_plain)
     # padded-tail rows may differ (different total padding); compare the
     # logical table regions
     for off_p, off_u, rows in zip(
@@ -300,4 +317,95 @@ def test_chunked_pooled_lookup_parity(mesh, rng, policy, monkeypatch):
     assert cmod._chunk_bags(5, 128 * 4, len(tables), 16 * 5) is not None
     out = coll.lookup(fused, idx, mask, batch_size=16)
     expected = oracle_pooled(tables_np, idx3, mask3)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize(
+    "policy",
+    [ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.TABLE_WISE],
+)
+def test_routed_lookup_parity(mesh, rng, policy, packed):
+    """All-to-all routed lookup == broadcast-and-mask lookup == oracle.
+
+    Contiguous layouts (ROW/TABLE_WISE) put the small TABLES16 tables
+    wholly on shard 0, so routing is maximally skewed — they need
+    capacity_factor = num_shards for zero drops.  ROW_HASH (strided
+    ownership) balances the same workload at the default cf=2: that is
+    the policy routing is designed for (SURVEY.md §7 hard part (c))."""
+    tables = TABLES16
+    coll = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
+    cf = 2.0 if coll.layout.policy == ShardingPolicy.ROW_HASH else 4.0
+    routed = coll.lookup_routed(
+        fused, idx, mask, batch_size=16, capacity_factor=cf
+    )
+    broadcast = coll.lookup(fused, idx, mask, batch_size=16)
+    expected = oracle_pooled(tables_np, idx3, mask3)
+    np.testing.assert_allclose(
+        np.asarray(routed), expected, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(broadcast), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_routed_lookup_rejects_unsupported_policy(mesh, rng):
+    coll = EmbeddingCollection.create(
+        TABLES16, mesh, ShardingPolicy.REPLICATE
+    )
+    fused = coll.init(jax.random.PRNGKey(0))
+    idx, mask, _, _ = make_query(rng, TABLES16, b=8, l=2)
+    with pytest.raises(ValueError):
+        coll.lookup_routed(fused, idx, mask, batch_size=8)
+
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_row_hash_init_scales(mesh, packed):
+    coll = EmbeddingCollection.create(
+        TABLES16, mesh, ShardingPolicy.ROW_HASH, packed=packed
+    )
+    fused = coll.init(jax.random.PRNGKey(0))
+    lo = coll.layout
+    m, rps = lo.num_shards, lo.rows_per_shard
+    arr = np.asarray(fused).reshape(lo.total_rows, lo.dim)
+    # invert the strided placement: position s*rps + j holds fused j*m + s
+    perm = (np.arange(rps)[None, :] * m + np.arange(m)[:, None]).reshape(-1)
+    unstrided = np.empty_like(arr)
+    unstrided[perm] = arr
+    for off, rows, t in zip(lo.row_offsets, lo.table_rows, TABLES16):
+        bound = 1.0 / np.sqrt(t.num_rows)
+        seg = unstrided[off : off + rows]
+        assert np.abs(seg).max() <= bound + 1e-6
+        assert np.abs(seg).std() > 0
+
+
+def test_row_hash_csr_parity(mesh, rng):
+    tables = TABLES16
+    coll = EmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW_HASH, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    t, b, cap = len(tables), 8, 40
+    offsets = np.zeros((t, b + 1), np.int32)
+    indices = np.zeros((t, cap), np.int32)
+    expected = np.zeros((b, t, 16), np.float32)
+    for ti in range(t):
+        lens = np.minimum(rng.integers(0, 6, size=b), cap // b)
+        offsets[ti, 1:] = np.cumsum(lens)
+        for bi in range(b):
+            ids = rng.integers(0, tables[ti].num_rows, size=lens[bi])
+            indices[ti, offsets[ti, bi] : offsets[ti, bi + 1]] = ids
+            expected[bi, ti] = tables_np[ti][ids].sum(0) if len(ids) else 0
+    out = coll.lookup_csr(fused, jnp.asarray(indices), jnp.asarray(offsets))
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
