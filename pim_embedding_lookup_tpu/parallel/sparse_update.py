@@ -123,6 +123,85 @@ def _apply_local(
     return emb_shard, acc_shard
 
 
+def _routed_apply_local(
+    emb_shard,
+    acc_shard,
+    g_idx,
+    mask,
+    g_pooled,
+    *,
+    pooling: int,
+    rows_per_shard: int,
+    pack: int,
+    strided: bool,
+    num_shards: int,
+    cf: float,
+    lr: float,
+    eps: float,
+    use_adagrad: bool,
+):
+    """All-to-all ROUTED optimizer step (ROW/ROW_HASH/TABLE_WISE).
+
+    The broadcast step makes every model shard scan all E entries and
+    scatter with ownership-drop — per-shard scatter count stays E.  Here
+    each device takes an E/M slice, routes (local-id, update-row) pairs to
+    the owner shard through capacity-bucketed all_to_alls (SURVEY.md §7
+    hard part (a): 'all-to-all of (id, grad) pairs, then on-shard
+    segment-sum'), and each shard scatters only the ~E/M entries it owns.
+    Capacity overflow DROPS updates (rare under ROW_HASH balancing; see
+    lookup_routed)."""
+    from .collection import _owner_local
+
+    ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
+    m = num_shards
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    e_total = ids.shape[0]
+    em = -(-e_total // m)
+    pad = em * m - e_total
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        updates = jnp.concatenate(
+            [updates, jnp.zeros((pad, updates.shape[-1]), updates.dtype)]
+        )
+    gs = jax.lax.dynamic_slice_in_dim(ids, mi * em, em)
+    vs = jax.lax.dynamic_slice_in_dim(valid, mi * em, em)
+    us = jax.lax.dynamic_slice_in_dim(updates, mi * em, em)
+
+    owner, local = _owner_local(gs, rows_per_shard, m, strided)
+    owner = jnp.clip(owner, 0, m - 1)
+    oh = (jax.nn.one_hot(owner, m, dtype=jnp.int32)
+          * vs[:, None].astype(jnp.int32))
+    pos = jnp.take_along_axis(
+        jnp.cumsum(oh, axis=0) - oh, owner[:, None], axis=1
+    )[:, 0]
+    k = max(8, -(-int(cf * em) // m))
+    ok = vs & (pos < k)
+    slot = jnp.where(ok, owner * k + pos, m * k)
+
+    send_ids = jnp.full((m * k,), rows_per_shard, dtype=gs.dtype)
+    send_ids = send_ids.at[slot].set(local, mode="drop")
+    send_upd = jnp.zeros((m * k, us.shape[-1]), us.dtype)
+    send_upd = send_upd.at[slot].set(us, mode="drop")
+    recv_ids = jax.lax.all_to_all(
+        send_ids.reshape(m, k), MODEL_AXIS, split_axis=0, concat_axis=0
+    ).reshape(m * k)
+    recv_upd = jax.lax.all_to_all(
+        send_upd.reshape(m, k, -1), MODEL_AXIS, split_axis=0, concat_axis=0
+    ).reshape(m * k, -1)
+
+    rl = jnp.where(recv_ids < rows_per_shard, recv_ids, rows_per_shard)
+    if use_adagrad:
+        sq = jnp.mean(recv_upd * recv_upd, axis=-1)  # 0 for empty slots
+        acc_shard = acc_shard.at[rl].add(sq, mode="drop")
+        rows_acc = jnp.take(acc_shard, jnp.minimum(rl, rows_per_shard - 1))
+        scale = lr * jax.lax.rsqrt(rows_acc + eps)
+        emb_shard = _scatter_step(emb_shard, rl, -scale[:, None] * recv_upd, pack)
+    else:
+        emb_shard = _scatter_step(emb_shard, rl, -lr * recv_upd, pack)
+    return emb_shard, acc_shard
+
+
 def _gather_entries_over_data(g_idx, mask, g_pooled):
     g_idx = jax.lax.all_gather(g_idx, DATA_AXIS, axis=1, tiled=True)  # [T, C]
     mask = jax.lax.all_gather(mask, DATA_AXIS, axis=1, tiled=True)
@@ -141,8 +220,14 @@ def sparse_update(
     lr: float,
     optimizer: str = "sgd",  # "sgd" | "row_adagrad"
     eps: float = 1e-8,
+    routed: bool = False,
+    capacity_factor: float = 2.0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter-apply the embedding optimizer step.  Returns (fused, acc)."""
+    """Scatter-apply the embedding optimizer step.  Returns (fused, acc).
+
+    ``routed=True`` (ROW/ROW_HASH/TABLE_WISE only) routes (id, update)
+    pairs to owner shards via all_to_all instead of broadcasting — each
+    shard scatters ~E/M entries instead of E (see _routed_apply_local)."""
     policy = coll.layout.policy
     pooling = indices.shape[1] // g_pooled.shape[0]
     g_idx = coll.globalize(indices)
@@ -162,8 +247,22 @@ def sparse_update(
     acc_spec = P(MODEL_AXIS) if rowish else P()  # acc is 1-D [rows]
     g_spec = P(DATA_AXIS, None, MODEL_AXIS) if column else P(DATA_AXIS, None, None)
 
+    if routed and not rowish:
+        raise ValueError("routed sparse_update needs ROW/ROW_HASH/TABLE_WISE")
+
     def fn(emb_shard, acc_shard, g_idx_s, mask_s, g_s):
         g_idx_g, mask_g, g_g = _gather_entries_over_data(g_idx_s, mask_s, g_s)
+        if routed:
+            return _routed_apply_local(
+                emb_shard, acc_shard, g_idx_g, mask_g, g_g,
+                pooling=pooling,
+                rows_per_shard=rps,
+                pack=coll.layout.pack,
+                strided=coll.layout.policy == ShardingPolicy.ROW_HASH,
+                num_shards=coll.layout.num_shards,
+                cf=float(capacity_factor),
+                lr=lr, eps=eps, use_adagrad=use_adagrad,
+            )
         return _apply_local(
             emb_shard, acc_shard, g_idx_g, mask_g, g_g,
             pooling=pooling,

@@ -409,3 +409,40 @@ def test_row_hash_csr_parity(mesh, rng):
             expected[bi, ti] = tables_np[ti][ids].sum(0) if len(ids) else 0
     out = coll.lookup_csr(fused, jnp.asarray(indices), jnp.asarray(offsets))
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "row_adagrad"])
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize(
+    "policy", [ShardingPolicy.ROW, ShardingPolicy.ROW_HASH]
+)
+def test_routed_sparse_update_parity(mesh, rng, policy, packed, optimizer):
+    """Routed (all-to-all (id, grad) pairs) == broadcast optimizer step."""
+    tables = TABLES16
+    ca = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
+    cb = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fa = ca.device_put_tables(tables_np)
+    fb = cb.device_put_tables(tables_np)
+    aa, ab = init_accumulator(ca), init_accumulator(cb)
+    idx, mask, _, _ = make_query(rng, tables, b=8, l=4)
+    g_pooled = jnp.asarray(
+        rng.standard_normal((8, len(tables), 16)).astype(np.float32)
+    )
+    cf = 2.0 if policy == ShardingPolicy.ROW_HASH else 4.0
+    fa, aa = sparse_update(
+        ca, fa, aa, idx, mask, g_pooled, lr=0.1, optimizer=optimizer,
+        routed=True, capacity_factor=cf,
+    )
+    fb, ab = sparse_update(
+        cb, fb, ab, idx, mask, g_pooled, lr=0.1, optimizer=optimizer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fa), np.asarray(fb), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(aa), np.asarray(ab), rtol=1e-5, atol=1e-6
+    )
