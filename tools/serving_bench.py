@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--pooling", type=int, default=1)
     ap.add_argument("--qps", type=float, default=100.0, help="request arrivals/s")
     ap.add_argument("--duration", type=float, default=10.0, help="seconds")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="MXU small-table + lane-packed gather collection")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -47,7 +49,7 @@ def main():
     policy = (
         ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
     )
-    model = DLRM(cfg, mesh, policy)
+    model = DLRM(cfg, mesh, policy, hybrid=args.hybrid)
     params = model.init(jax.random.PRNGKey(args.seed))
     jax.block_until_ready(params["emb"])
     eval_step = make_eval_step(model)
