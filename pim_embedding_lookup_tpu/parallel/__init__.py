@@ -2,6 +2,7 @@
 
 from .collection import EmbeddingCollection
 from .hybrid import HybridEmbeddingCollection
+from .quantized_collection import QuantizedEmbeddingCollection
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -17,6 +18,7 @@ from .planner import FusedLayout, plan
 __all__ = [
     "EmbeddingCollection",
     "HybridEmbeddingCollection",
+    "QuantizedEmbeddingCollection",
     "FusedLayout",
     "plan",
     "make_mesh",

@@ -1,0 +1,102 @@
+"""Capacity bench: int8 sharded collection at table sizes f32 cannot hold.
+
+4 tables x 25M rows x dim 64 = 6.4GB int8 (+0.4GB scales) on one 16GB
+chip; the f32 equivalent is 25.6GB.  The analog of the reference's
+MRAM-capacity envelope (14MB/DPU slice, emb_types.h:5, and r.sh's
+13.9M-row sweep ceiling).  In-graph timing (see kernel_lab.py).
+
+    python tools/capacity_bench.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tables", type=int, default=4)
+    ap.add_argument("--rows", type=int, default=25_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--pooling", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pim_embedding_lookup_tpu.config import (
+        MeshConfig, ShardingPolicy, TableConfig,
+    )
+    from pim_embedding_lookup_tpu.parallel import (
+        QuantizedEmbeddingCollection, make_mesh,
+    )
+
+    tables = tuple(
+        TableConfig(num_rows=args.rows, dim=args.dim, name=f"cap_{i}")
+        for i in range(args.tables)
+    )
+    gb_int8 = sum(t.num_rows * (t.dim + 4) for t in tables) / 1e9
+    gb_f32 = sum(t.num_rows * t.dim * 4 for t in tables) / 1e9
+    print(f"int8 {gb_int8:.1f}GB (f32 would be {gb_f32:.1f}GB)",
+          file=sys.stderr)
+
+    mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
+    policy = (
+        ShardingPolicy.REPLICATE
+        if jax.device_count() == 1
+        else ShardingPolicy.ROW_HASH
+    )
+    coll = QuantizedEmbeddingCollection.create(tables, mesh, policy)
+    params = coll.init(jax.random.PRNGKey(0))
+    jax.block_until_ready(params["q"])
+    print(f"params ready pack={coll.layout.pack}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    t, b, l = len(tables), args.batch, args.pooling
+    idx = jnp.asarray(
+        np.stack(
+            [rng.integers(0, tb.num_rows, size=b * l) for tb in tables]
+        ).astype(np.int32)
+    )
+    mask = jnp.ones((t, b * l), bool)
+    rows_arr = jnp.asarray([tb.num_rows for tb in tables], dtype=jnp.int32)
+    stride = jnp.asarray(
+        [max(1, tb.num_rows // 7 + 1) for tb in tables], dtype=jnp.int32
+    )
+
+    @jax.jit
+    def loop(params, idx, n):
+        def body(i, carry):
+            acc, idx_i = carry
+            out = coll.lookup(params, idx_i, mask, batch_size=b)
+            return acc + jnp.sum(out), (idx_i + stride[:, None]) % rows_arr[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
+        return acc
+
+    jax.block_until_ready(loop(params, idx, 2))
+    print("compiled; timing", file=sys.stderr)
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop(params, idx, args.iters))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": "int8_capacity_pooled_lookups_per_s",
+        "tables_gb_int8": round(gb_int8, 2),
+        "tables_gb_f32_equiv": round(gb_f32, 2),
+        "us_per_iter": round(dt * 1e6, 1),
+        "value": round(b * t / dt, 1),
+        "unit": "lookups/s",
+    }))
+
+
+if __name__ == "__main__":
+    main()
