@@ -183,31 +183,38 @@ class EmbeddingCollection:
         mask: jax.Array,
         *,
         batch_size: int | None = None,
+        combiner: str = "sum",  # "sum" | "mean" | "max"
     ) -> jax.Array:
-        """Pooled SUM lookup.
+        """Pooled lookup (SUM default; MEAN/MAX for torch-EmbeddingBag API
+        parity — the reference hardwires SUM, emb_dpu_lookup.c:114).
 
         indices: [T, B*L] per-table row ids (local, not fused);
         mask:    [T, B*L] validity;
         batch_size: B (default: infer L=1, B = C);
         returns  [B, T, D] pooled vectors (the reference's final_results
         layout after post_process's col->row transpose, emb_host.h:207-212).
+        Empty bags pool to 0 (all combiners), matching torch.
         """
         t, c = indices.shape
         b = batch_size if batch_size is not None else c
         if c % b:
             raise ValueError(f"capacity {c} not divisible by batch {b}")
         g_idx = self.globalize(indices)
-        return _lookup_dispatch(
+        pooled = _lookup_dispatch(
             self.mesh,
             self.layout.policy,
             self.layout.rows_per_shard,
             c // b,
             self.layout.pack,
             self.layout.policy == ShardingPolicy.ROW_HASH,
+            combiner,
             fused_table,
             g_idx,
             mask,
         )
+        if combiner == "sum":
+            return pooled
+        return _finish_combiner(combiner, c // b, pooled, mask)
 
     @property
     def _strided(self) -> bool:
@@ -388,19 +395,32 @@ def _owner_local(g, rows_per_shard, num_shards, strided):
     return owner, g - owner * rows_per_shard
 
 
+def _finish_combiner(combiner, pooling, pooled, mask):
+    """Post-merge MEAN/MAX finalization on [B, T, D] (counts from the
+    replicated mask, so it runs outside the shard_map)."""
+    t, c = mask.shape
+    counts = mask.reshape(t, c // pooling, pooling).sum(axis=-1)  # [T, B]
+    counts = jnp.transpose(counts, (1, 0))[..., None]  # [B, T, 1] (fused)
+    if combiner == "mean":
+        return pooled / jnp.maximum(counts, 1)
+    # max: shards contribute -inf for non-owned entries; empty bags -> 0
+    return jnp.where(counts > 0, pooled, 0.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "policy", "rows_per_shard", "pooling", "pack", "strided"
+        "mesh", "policy", "rows_per_shard", "pooling", "pack", "strided",
+        "combiner",
     ),
 )
 def _lookup_dispatch(
-    mesh, policy, rows_per_shard, pooling, pack, strided, fused_table, g_idx,
-    mask
+    mesh, policy, rows_per_shard, pooling, pack, strided, combiner,
+    fused_table, g_idx, mask
 ):
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling, pack),
+            functools.partial(_local_pooled_lookup, pooling, pack, combiner),
             mesh=mesh,
             in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
             out_specs=P(DATA_AXIS, None, None),
@@ -409,7 +429,7 @@ def _lookup_dispatch(
 
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling, pack),
+            functools.partial(_local_pooled_lookup, pooling, pack, combiner),
             mesh=mesh,
             in_specs=(
                 P(None, MODEL_AXIS),
@@ -427,7 +447,7 @@ def _lookup_dispatch(
     # merge.
     local = functools.partial(
         _rowshard_pooled_lookup, rows_per_shard, pooling, pack, strided,
-        mesh.shape[MODEL_AXIS],
+        mesh.shape[MODEL_AXIS], combiner,
     )
     fn = shard_map(
         local,
@@ -505,7 +525,22 @@ def _row_bytes(table, pack):
     return table.shape[-1] * table.dtype.itemsize
 
 
-def _local_pooled_lookup(pooling, pack, table, g_idx, mask):
+_NEG_INF = -3.0e38  # max-combiner identity
+
+
+def _pool_rows(rows, active, pooling, combiner):
+    """[T, C, D] rows + [T, C] active -> [B', T, D] (sum or masked max)."""
+    t, c, d = rows.shape
+    if combiner == "max":
+        rows = jnp.where(active[..., None], rows, _NEG_INF)
+        pooled = rows.reshape(t, c // pooling, pooling, d).max(axis=2)
+    else:  # sum (mean divides post-merge)
+        rows = rows * active[..., None].astype(rows.dtype)
+        pooled = rows.reshape(t, c // pooling, pooling, d).sum(axis=2)
+    return jnp.transpose(pooled, (1, 0, 2))
+
+
+def _local_pooled_lookup(pooling, pack, combiner, table, g_idx, mask):
     """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool.
 
     Accumulates in f32 regardless of storage dtype (bf16 tables halve HBM
@@ -513,32 +548,28 @@ def _local_pooled_lookup(pooling, pack, table, g_idx, mask):
     full-width int32 accumulate, emb_dpu_lookup.c:114)."""
 
     def pool(gi, mi):
-        t, c = gi.shape
         rows = _gather_f32(table, gi, pack)  # [T, nb*L, D] f32
-        rows = rows * mi[..., None].astype(rows.dtype)
-        pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
-        return jnp.transpose(pooled, (1, 0, 2))
+        return _pool_rows(rows, mi, pooling, combiner)
 
     return _scan_pooled(pool, pooling, _row_bytes(table, pack), g_idx, mask)
 
 
 def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, strided,
-                            num_shards, table_shard, g_idx, mask):
+                            num_shards, combiner, table_shard, g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
 
     def pool(gi, mi):
-        t, c = gi.shape
         owner, local = _owner_local(gi, rows_per_shard, num_shards, strided)
         owned = (owner == shard) & (local < rows_per_shard) & mi
         local = jnp.where(owned, local, 0)
         rows = _gather_f32(table_shard, local, pack)
-        rows = rows * owned[..., None].astype(rows.dtype)
-        pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
-        return jnp.transpose(pooled, (1, 0, 2))
+        return _pool_rows(rows, owned, pooling, combiner)
 
     pooled = _scan_pooled(
         pool, pooling, _row_bytes(table_shard, pack), g_idx, mask
     )
+    if combiner == "max":
+        return jax.lax.pmax(pooled, MODEL_AXIS)
     return jax.lax.psum(pooled, MODEL_AXIS)
 
 

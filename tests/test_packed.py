@@ -446,3 +446,38 @@ def test_routed_sparse_update_parity(mesh, rng, policy, packed, optimizer):
     np.testing.assert_allclose(
         np.asarray(aa), np.asarray(ab), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("combiner", ["mean", "max"])
+@pytest.mark.parametrize(
+    "policy",
+    [ShardingPolicy.REPLICATE, ShardingPolicy.ROW, ShardingPolicy.ROW_HASH],
+)
+def test_collection_combiners(mesh, rng, policy, combiner):
+    """MEAN/MAX pooling (torch-EmbeddingBag parity; reference is SUM-only,
+    emb_dpu_lookup.c:114).  Empty bags pool to 0 like torch."""
+    tables = TABLES16
+    coll = EmbeddingCollection.create(tables, mesh, policy, packed=True)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    fused = coll.device_put_tables(tables_np)
+    idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
+    # force an empty bag
+    mask3[0, 0, :] = False
+    mask = jnp.asarray(mask3.reshape(len(tables), -1))
+    out = np.asarray(
+        coll.lookup(fused, idx, mask, batch_size=16, combiner=combiner)
+    )
+    t, b, l = idx3.shape
+    expected = np.zeros((b, t, 16), np.float32)
+    for ti in range(t):
+        for bi in range(b):
+            sel = [idx3[ti, bi, li] for li in range(l) if mask3[ti, bi, li]]
+            if sel:
+                rows = tables_np[ti][sel]
+                expected[bi, ti] = (
+                    rows.mean(0) if combiner == "mean" else rows.max(0)
+                )
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
