@@ -49,13 +49,29 @@ class QueryGenerator:
             return np.minimum(z - 1, num_rows - 1)
         raise ValueError(self.distribution)
 
+    def _draw_all(self, b: int, l: int) -> np.ndarray:
+        """[T, B, L] int32 — native C++ feeder when built (multi-threaded,
+        load_generator.c parity path), numpy fallback otherwise."""
+        from ..utils import native
+
+        if native.available():
+            out = native.gen_query(
+                np.asarray([t.num_rows for t in self.tables], np.int64),
+                b, l,
+                distribution=self.distribution,
+                alpha=self.zipf_alpha,
+                seed=int(self._rng.integers(0, 2**31 - 1)),
+            )
+            return out.astype(np.int32)
+        return np.stack(
+            [self._draw_indices(t.num_rows, (b, l)) for t in self.tables]
+        ).astype(np.int32)
+
     def next_query(self) -> tuple[np.ndarray, np.ndarray]:
         """-> indices [T, B*L] int32, mask [T, B*L] bool (flat (batch, slot)
         order — the 2-D wire format of EmbeddingCollection.lookup)."""
         b, l = self.query.batch_size, self.query.max_indices_per_batch
-        idx = np.stack(
-            [self._draw_indices(t.num_rows, (b, l)) for t in self.tables]
-        ).astype(np.int32)
+        idx = self._draw_all(b, l)
         if self.fixed_length:
             mask = np.ones((self._t, b, l), dtype=bool)
         else:
