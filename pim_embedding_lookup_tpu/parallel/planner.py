@@ -116,7 +116,11 @@ def plan(
         elif dim % num_shards == 0 and dim // num_shards >= COLUMN_MIN_DIM_PER_SHARD:
             policy = ShardingPolicy.COLUMN
         else:
-            policy = ShardingPolicy.ROW
+            # strided (hashed) rows: balanced ownership for every table with
+            # >= num_shards rows, and the layout the routed collectives are
+            # designed for — strictly better than contiguous ROW for the
+            # uniform/zipf id streams this engine serves
+            policy = ShardingPolicy.ROW_HASH
 
     pack = resolve_pack(dim, policy, packed)
     # Storage rows stay sublane(8)-aligned; shard boundaries must also land

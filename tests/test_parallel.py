@@ -117,7 +117,7 @@ def test_planner_auto_thresholds():
     small = (TableConfig(num_rows=10, dim=16),)
     assert plan(small, 4).policy == ShardingPolicy.REPLICATE
     big = (TableConfig(num_rows=50_000_000, dim=16),)
-    assert plan(big, 4).policy == ShardingPolicy.ROW
+    assert plan(big, 4).policy == ShardingPolicy.ROW_HASH  # balanced rows
     wide = (TableConfig(num_rows=50_000_000, dim=512),)
     assert plan(wide, 4).policy == ShardingPolicy.COLUMN
 
