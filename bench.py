@@ -52,7 +52,9 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
-        ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
+        ShardingPolicy.REPLICATE
+        if jax.device_count() == 1
+        else ShardingPolicy.ROW_HASH  # balanced ownership (docs/PERF.md)
     )
     table_dtype = jnp.dtype(dtype)
     if hybrid:

@@ -47,7 +47,9 @@ def main():
     ]()
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
-        ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
+        ShardingPolicy.REPLICATE
+        if jax.device_count() == 1
+        else ShardingPolicy.ROW_HASH  # balanced ownership (docs/PERF.md)
     )
     model = DLRM(cfg, mesh, policy, hybrid=args.hybrid)
     params = model.init(jax.random.PRNGKey(args.seed))

@@ -50,7 +50,9 @@ def main():
     ]()
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
-        ShardingPolicy.REPLICATE if jax.device_count() == 1 else ShardingPolicy.ROW
+        ShardingPolicy.REPLICATE
+        if jax.device_count() == 1
+        else ShardingPolicy.ROW_HASH  # balanced ownership (docs/PERF.md)
     )
     if args.hybrid:
         from pim_embedding_lookup_tpu.parallel.hybrid import (
