@@ -263,6 +263,7 @@ class EmbeddingCollection:
         *,
         batch_size: int | None = None,
         capacity_factor: float = 2.0,
+        hot_cache: tuple[jax.Array, jax.Array] | None = None,
     ) -> jax.Array:
         """Pooled SUM lookup with all-to-all ID ROUTING (ROW/TABLE_WISE).
 
@@ -283,6 +284,11 @@ class EmbeddingCollection:
         (contribute zero to the pooled sum).  Uniform-hash row sharding
         keeps loads balanced, so cf=2 makes drops vanishingly rare; parity
         tests run at the default and require exactness.
+
+        ``hot_cache``: optional (hot_ids [K] sorted, hot_rows [K, D])
+        replicated snapshot (parallel/hotcache.py).  Hot entries are
+        served locally from the replica and EXCLUDED from routing — the
+        RecShard-style fix for zipf hotspots (SURVEY §7 hard part (c)).
         """
         if not _rowish(self.layout.policy):
             raise ValueError(
@@ -293,7 +299,20 @@ class EmbeddingCollection:
         if c % b:
             raise ValueError(f"capacity {c} not divisible by batch {b}")
         g_idx = self.globalize(indices)
-        return _lookup_routed_dispatch(
+        if hot_cache is None:
+            return _lookup_routed_dispatch(
+                self.mesh,
+                self.layout.rows_per_shard,
+                c // b,
+                self.layout.pack,
+                float(capacity_factor),
+                self.layout.policy == ShardingPolicy.ROW_HASH,
+                fused_table,
+                g_idx,
+                mask,
+            )
+        hot_ids, hot_rows = hot_cache
+        return _lookup_routed_hot_dispatch(
             self.mesh,
             self.layout.rows_per_shard,
             c // b,
@@ -303,6 +322,8 @@ class EmbeddingCollection:
             fused_table,
             g_idx,
             mask,
+            hot_ids,
+            hot_rows,
         )
 
 
@@ -599,8 +620,38 @@ def _lookup_routed_dispatch(
     return fn(fused_table, g_idx, mask)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_per_shard", "pooling", "pack", "cf", "strided"
+    ),
+)
+def _lookup_routed_hot_dispatch(
+    mesh, rows_per_shard, pooling, pack, cf, strided, fused_table, g_idx,
+    mask, hot_ids, hot_rows
+):
+    m = mesh.shape[MODEL_AXIS]
+    local = functools.partial(
+        _routed_pooled_lookup, rows_per_shard, pooling, pack, cf, m, strided
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+            P(),
+            P(),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+    )
+    return fn(fused_table, g_idx, mask, hot_ids, hot_rows)
+
+
 def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
-                          table_shard, g_idx, mask):
+                          table_shard, g_idx, mask,
+                          hot_ids=None, hot_rows=None):
     """Per-device body of lookup_routed.  See the method docstring.
 
     Shapes (per device): table_shard [rps/pack, width]; g_idx/mask [T, Cd]
@@ -620,6 +671,13 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
         v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
     gs = jax.lax.dynamic_slice_in_dim(g, mi * em, em)
     vs = jax.lax.dynamic_slice_in_dim(v, mi * em, em)
+
+    hot_e = None
+    if hot_ids is not None:
+        from .hotcache import hot_cache_select
+
+        hit, hot_e = hot_cache_select(hot_ids, hot_rows, gs, vs)
+        vs = vs & ~hit  # hot entries served locally, not routed
 
     owner, local_ids = _owner_local(gs, rows_per_shard, m, strided)
     owner = jnp.clip(owner, 0, m - 1)  # [Em]
@@ -653,6 +711,8 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
     rows_e = jnp.take(
         jnp.concatenate([back, zero_row]), jnp.minimum(slot, m * k), axis=0
     )  # [Em, D]; dropped/invalid entries -> 0
+    if hot_e is not None:
+        rows_e = rows_e + hot_e.astype(rows_e.dtype)
 
     # pooled partial: entry (global index e) belongs to (table e//Cd,
     # bag (e%Cd)//L); bags sum partials across devices via psum
