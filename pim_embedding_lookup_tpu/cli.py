@@ -169,10 +169,14 @@ def cmd_train(argv):
         dense_params = {k: params[k] for k in ("bot", "top")}
         emb = params["emb"]
         eval_step = make_eval_step(model)
+        from .data.prefetch import device_prefetch
+
         t0 = time.perf_counter()
         stepno = 0
         for epoch in range(args.nepochs):
-            for dense_x, idx, mask, labels in batches:
+            # background thread stages upcoming batches onto the device
+            # while the current step computes (SURVEY §7 hard part (d))
+            for dense_x, idx, mask, labels in device_prefetch(iter(batches)):
                 with timer.phase("train_step"):
                     emb, acc, dense_params, opt_state, loss = step(
                         emb, acc, dense_params, opt_state,

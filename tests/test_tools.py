@@ -43,3 +43,36 @@ def test_scaling_bench_smoke():
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert "1" in rep["lookups_per_s"] and "4" in rep["lookups_per_s"]
     assert rep["scaling_efficiency"]["1"] == 1.0
+
+
+def test_phase_bench_smoke(capfd):
+    import sys as _sys
+
+    import tools.phase_bench as pb
+
+    argv = _sys.argv
+    _sys.argv = ["phase_bench", "--config", "toy", "--batch", "32",
+                 "--iters", "2"]
+    try:
+        pb.main()
+    finally:
+        _sys.argv = argv
+    out = capfd.readouterr().out
+    assert '"lookup_phase_latency_us"' in out
+    assert '"feed"' in out and '"compute"' in out
+
+
+def test_capacity_bench_smoke(capfd):
+    import sys as _sys
+
+    import tools.capacity_bench as cb
+
+    argv = _sys.argv
+    _sys.argv = ["capacity_bench", "--tables", "2", "--rows", "5000",
+                 "--dim", "16", "--batch", "64", "--iters", "2"]
+    try:
+        cb.main()
+    finally:
+        _sys.argv = argv
+    out = capfd.readouterr().out
+    assert '"int8_capacity_pooled_lookups_per_s"' in out
