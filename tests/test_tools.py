@@ -76,3 +76,17 @@ def test_capacity_bench_smoke(capfd):
         _sys.argv = argv
     out = capfd.readouterr().out
     assert '"int8_capacity_pooled_lookups_per_s"' in out
+
+
+def test_kernel_lab_drophot_smoke():
+    """The drop/zipf/hot probes behind the scatter-wall findings in
+    docs/PERF.md stay runnable."""
+    r = run_tool(
+        "tools/kernel_lab.py",
+        "--rows", "4096", "--dim", "16", "--batch", "32", "--tables", "2",
+        "--iters", "2", "--only", "drophot",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "scatter dropfrac=0.9" in r.stderr
+    assert "scatter zipf-ids" in r.stderr
+    assert "gather hotfrac=0.5" in r.stderr

@@ -340,6 +340,79 @@ def main():
         jax.block_until_ready(bf16_loop(tpb2, flat_idx, args.iters))
         report("scatter bf16", (time.perf_counter() - t0) / args.iters)
 
+    if want("drophot") and 128 % d == 0 and d < 128:
+        # Frequency-hybrid feasibility probes (training wall is the big-set
+        # random scatter, ~81ns/entry — docs/PERF.md):
+        #   drop  — scatter where a fraction of entries are oob-DROPPED.  If
+        #           dropped entries are ~free, hot-row updates can move to an
+        #           MXU dense-block path and be dropped from the scatter.
+        #   zipf  — scatter/gather with power-law ids (real Criteo traffic):
+        #           hot-id collisions serialize scatter-adds; uniform-id
+        #           benches may understate the real cost.
+        #   hotg  — gather where a fraction of ids clamp into a tiny hot
+        #           range (cache locality on the forward path).
+        pack = 128 // d
+        npad = (n + pack - 1) // pack * pack
+        S = npad // pack
+        tp = jax.jit(
+            lambda k: jax.random.uniform(k, (S, 128), jnp.float32, -0.1, 0.1)
+        )(key)
+        jax.block_until_ready(tp)
+        upd128 = jnp.asarray(
+            rng.standard_normal((c, 128)).astype(np.float32) * 1e-4
+        )
+
+        def sctimer2(step_fn, idx0, iters):
+            @jax.jit
+            def loop(tbl, idx, u128, nn):
+                def body(i, carry):
+                    tbl, idx_i = carry
+                    return step_fn(tbl, idx_i, u128), rotate(idx_i)
+
+                tbl, _ = jax.lax.fori_loop(0, nn, body, (tbl, idx))
+                return jnp.sum(tbl[:8])
+
+            jax.block_until_ready(loop(tp, idx0, upd128, 2))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(tp, idx0, upd128, iters))
+            return (time.perf_counter() - t0) / iters
+
+        for frac in (0.0, 0.5, 0.9):
+            kdrop = int(c * frac)
+
+            def drop_scatter(tbl, i, u128, kdrop=kdrop):
+                ii = jnp.where(jnp.arange(c) < kdrop, S, i // pack)
+                return tbl.at[ii].add(u128, mode="drop")
+
+            report(f"scatter dropfrac={frac}",
+                   sctimer2(drop_scatter, flat_idx, args.iters))
+
+        # zipf ids (alpha~1.05 truncated to n) — realistic hot-row collisions
+        zraw = rng.zipf(1.05, size=4 * c)
+        zraw = zraw[zraw <= n][:c]
+        zipf_idx = jnp.asarray((zraw - 1).astype(np.int32))
+
+        def raw_scatter2(tbl, i, u128):
+            return tbl.at[i // pack].add(u128, mode="drop")
+
+        report("scatter zipf-ids", sctimer2(raw_scatter2, zipf_idx, args.iters))
+        report("scatter uniform-ids",
+               sctimer2(raw_scatter2, flat_idx, args.iters))
+
+        for frac in (0.5, 0.9):
+            khot = int(c * frac)
+
+            def hot_gather(t_, i, khot=khot):
+                ids = jnp.where(jnp.arange(c) < khot, i % 4096, i)
+                return jnp.take(t_, ids // pack, axis=0)
+
+            report(f"gather hotfrac={frac}",
+                   igtimer(hot_gather, tp, flat_idx, rotate, args.iters))
+        report("gather uniform",
+               igtimer(lambda t_, i: jnp.take(t_, i // pack, axis=0), tp,
+                       flat_idx, rotate, args.iters))
+        del tp
+
     if want("wide") and d < 128 and 128 % d == 0:
         # Does gather cost stay flat as storage rows widen past 128 lanes?
         # If yes, pack=width/d rows per issue cuts issue count further.
