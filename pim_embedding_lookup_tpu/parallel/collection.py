@@ -146,9 +146,11 @@ class EmbeddingCollection:
         scales = np.asarray([p[1] for p in pairs], dtype=np.float32)
         return ends, scales
 
-    def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> jax.Array:
-        """Load pre-existing per-table weights (populate_mram parity path,
-        emb_host.h:136: host pushes externally-built table data)."""
+    def fused_host_array(self, host_tables: Sequence[np.ndarray]) -> np.ndarray:
+        """Per-table host weights -> the fused [storage_rows, storage_width]
+        numpy array in this layout's storage order (ROW_HASH striding and
+        lane packing applied).  Shared by the single-host device_put path
+        and the multi-process path (multihost.device_put_tables)."""
         lay = self.layout
         fused = np.zeros((lay.total_rows, lay.dim), np.float32)
         for arr, off, rows in zip(
@@ -164,7 +166,12 @@ class EmbeddingCollection:
                 np.arange(rps)[None, :] * m + np.arange(m)[:, None]
             ).reshape(-1)
             fused = fused[perm]
-        fused = fused.reshape(lay.storage_rows, lay.storage_width)
+        return fused.reshape(lay.storage_rows, lay.storage_width)
+
+    def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> jax.Array:
+        """Load pre-existing per-table weights (populate_mram parity path,
+        emb_host.h:136: host pushes externally-built table data)."""
+        fused = self.fused_host_array(host_tables)
         return jax.device_put(jnp.asarray(fused), self.table_sharding)
 
     # -- query globalization ------------------------------------------------

@@ -65,3 +65,33 @@ def make_pod_mesh(data: int | None = None, model: int | None = None) -> Mesh:
 
 def is_primary() -> bool:
     return jax.process_index() == 0
+
+
+def device_put_tables(coll, host_tables) -> jax.Array:
+    """Multi-process populate_mram (emb_host.h:136): every process holds the
+    full per-table host weights; each device materializes only its own shard
+    via make_array_from_callback (plain jax.device_put cannot target
+    non-addressable devices on a pod)."""
+    fused = coll.fused_host_array(host_tables)
+    return jax.make_array_from_callback(
+        fused.shape, coll.table_sharding, lambda idx: fused[idx]
+    )
+
+
+def make_global_queries(
+    mesh: Mesh, indices: np.ndarray, mask: np.ndarray
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble the global [T, B*L] query arrays from per-process batch
+    chunks (batch sharded over the data axis, replicated over model).
+
+    Each process passes ITS OWN slice of the batch — the N-host analog of
+    the reference pushing each table's indices to that table's DPUs
+    (emb_host.h:258-263); here the partitioning is by batch, and XLA moves
+    ids/rows over ICI/DCN as the lookup's collectives require.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    idx = jax.make_array_from_process_local_data(sh, indices)
+    msk = jax.make_array_from_process_local_data(sh, mask)
+    return idx, msk
