@@ -114,6 +114,30 @@ def main() -> None:
             rtol=1e-5, atol=1e-5,
             err_msg=f"update shard {shard.index} (proc {pid})",
         )
+    # routed (all-to-all) lookup + update across processes — the collectives
+    # that ride ICI/DCN on a real pod (SURVEY.md §2c)
+    if policy in (ShardingPolicy.ROW, ShardingPolicy.ROW_HASH):
+        out_r = coll.lookup_routed(fused, idx, mask, batch_size=b)
+        out_r.block_until_ready()
+        for shard in out_r.addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(shard.data), oracle[shard.index],
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"routed lookup shard {shard.index} (proc {pid})",
+            )
+        acc_r = init_accumulator(coll)
+        fused_r, _ = sparse_update(
+            coll, fused, acc_r, idx, mask, g, lr=lr, optimizer="sgd",
+            routed=True,
+        )
+        fused_r.block_until_ready()
+        for shard in fused_r.addressable_shards:
+            np.testing.assert_allclose(
+                np.asarray(shard.data), expect_fused[shard.index],
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"routed update shard {shard.index} (proc {pid})",
+            )
+
     print(f"proc {pid} policy={policy_name}: OK", flush=True)
 
 
