@@ -262,6 +262,26 @@ class EmbeddingCollection:
             seg.astype(jnp.int32),
         )
 
+    @property
+    def safe_capacity_factor(self) -> float:
+        """Smallest capacity factor that makes routed drops IMPOSSIBLE.
+
+        cf = num_shards gives per-(src, dst) buckets of k = E_slice entries:
+        even if every entry in a device's slice is owned by one shard (the
+        worst case — contiguous ROW ownership skew, or a zipf stream whose
+        duplicates of one hot id all hash to one owner), nothing overflows.
+        This is the API default.  Lower cf trades all_to_all volume and
+        destination gather count (the whole point of routing: ~cf*E/M
+        issues per shard instead of E) against a drop risk — callers that
+        lower it should monitor ``return_stats=True`` drop counters.
+        """
+        return float(self.layout.num_shards)
+
+    def _resolve_cf(self, capacity_factor: float | None) -> float:
+        if capacity_factor is None:
+            return self.safe_capacity_factor
+        return float(capacity_factor)
+
     def lookup_routed(
         self,
         fused_table: jax.Array,
@@ -269,9 +289,10 @@ class EmbeddingCollection:
         mask: jax.Array,  # [T, B*L]
         *,
         batch_size: int | None = None,
-        capacity_factor: float = 2.0,
+        capacity_factor: float | None = None,
         hot_cache: tuple[jax.Array, jax.Array] | None = None,
-    ) -> jax.Array:
+        return_stats: bool = False,
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:
         """Pooled SUM lookup with all-to-all ID ROUTING (ROW/TABLE_WISE).
 
         The default ``lookup`` broadcasts every query to every model shard
@@ -284,18 +305,25 @@ class EmbeddingCollection:
         broadcasting indices to a table's DPUs, emb_host.h:258-263), each
         shard gathers only the ~E/M ids it owns, rows ride an all_to_all
         back, and pooled partials psum-merge.  Per-device gather issues
-        drop from E to ~E/M — true multi-chip lookup scaling.
+        drop from E to ~cf*E/M — true multi-chip lookup scaling.
 
         ``capacity_factor``: each (src, dst) bucket holds
-        ceil(cf * E_slice / M) entries; overflow entries are DROPPED
-        (contribute zero to the pooled sum).  Uniform-hash row sharding
-        keeps loads balanced, so cf=2 makes drops vanishingly rare; parity
-        tests run at the default and require exactness.
+        ceil(cf * E_slice / M) entries.  ``None`` (default) resolves to
+        ``safe_capacity_factor`` — drops are impossible and results are
+        exact for every rowish policy and any id distribution (the
+        reference's indices broadcast never loses entries, emb_host.h:
+        258-263; neither does the default here).  An explicit lower cf is
+        the throughput mode (e.g. 2.0 under ROW_HASH with de-duplicated or
+        uniform streams): bucket overflow then DROPS entries (they
+        contribute zero to the pooled sum) — always counted in-graph;
+        pass ``return_stats=True`` to get ``(pooled, dropped)`` where
+        ``dropped`` is the global count of dropped entries this call.
 
         ``hot_cache``: optional (hot_ids [K] sorted, hot_rows [K, D])
         replicated snapshot (parallel/hotcache.py).  Hot entries are
         served locally from the replica and EXCLUDED from routing — the
-        RecShard-style fix for zipf hotspots (SURVEY §7 hard part (c)).
+        RecShard-style fix for zipf hotspots (SURVEY §7 hard part (c)),
+        which also removes the hot-duplicate overflow pressure at low cf.
         """
         if not _rowish(self.layout.policy):
             raise ValueError(
@@ -306,32 +334,37 @@ class EmbeddingCollection:
         if c % b:
             raise ValueError(f"capacity {c} not divisible by batch {b}")
         g_idx = self.globalize(indices)
+        cf = self._resolve_cf(capacity_factor)
         if hot_cache is None:
-            return _lookup_routed_dispatch(
+            pooled, dropped = _lookup_routed_dispatch(
                 self.mesh,
                 self.layout.rows_per_shard,
                 c // b,
                 self.layout.pack,
-                float(capacity_factor),
+                cf,
                 self.layout.policy == ShardingPolicy.ROW_HASH,
                 fused_table,
                 g_idx,
                 mask,
             )
-        hot_ids, hot_rows = hot_cache
-        return _lookup_routed_hot_dispatch(
-            self.mesh,
-            self.layout.rows_per_shard,
-            c // b,
-            self.layout.pack,
-            float(capacity_factor),
-            self.layout.policy == ShardingPolicy.ROW_HASH,
-            fused_table,
-            g_idx,
-            mask,
-            hot_ids,
-            hot_rows,
-        )
+        else:
+            hot_ids, hot_rows = hot_cache
+            pooled, dropped = _lookup_routed_hot_dispatch(
+                self.mesh,
+                self.layout.rows_per_shard,
+                c // b,
+                self.layout.pack,
+                cf,
+                self.layout.policy == ShardingPolicy.ROW_HASH,
+                fused_table,
+                g_idx,
+                mask,
+                hot_ids,
+                hot_rows,
+            )
+        if return_stats:
+            return pooled, jnp.sum(dropped)
+        return pooled
 
 
 @functools.partial(
@@ -622,7 +655,7 @@ def _lookup_routed_dispatch(
             P(None, DATA_AXIS),
             P(None, DATA_AXIS),
         ),
-        out_specs=P(DATA_AXIS, None, None),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS)),
     )
     return fn(fused_table, g_idx, mask)
 
@@ -651,7 +684,7 @@ def _lookup_routed_hot_dispatch(
             P(),
             P(),
         ),
-        out_specs=P(DATA_AXIS, None, None),
+        out_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS)),
     )
     return fn(fused_table, g_idx, mask, hot_ids, hot_rows)
 
@@ -664,6 +697,9 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
     Shapes (per device): table_shard [rps/pack, width]; g_idx/mask [T, Cd]
     (replicated over model within a data row).  Device mi processes the
     mi-th slice of the T*Cd entries; pooled partials psum over model.
+    Returns (pooled [Bd, T, D], dropped [1] int32 — this data-row's global
+    overflow-drop count, psum'd over model; zero by construction at the
+    default safe capacity factor).
     """
     t, cd = g_idx.shape
     mi = jax.lax.axis_index(MODEL_AXIS)
@@ -693,9 +729,12 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
           * vs[:, None].astype(jnp.int32))  # [Em, M]
     cum = jnp.cumsum(oh, axis=0) - oh
     pos = jnp.take_along_axis(cum, owner[:, None], axis=1)[:, 0]  # [Em]
-    k = max(8, -(-int(cf * em) // m))  # bucket capacity per (src, dst)
+    k = min(em, max(8, -(-int(cf * em) // m)))  # bucket cap per (src, dst)
     ok = vs & (pos < k)
     slot = jnp.where(ok, owner * k + pos, m * k)  # oob -> dropped
+    dropped = jax.lax.psum(
+        jnp.sum(vs & ~ok, dtype=jnp.int32)[None], MODEL_AXIS
+    )  # [1]; in-graph drop counter (VERDICT r1 #1 / ADVICE high)
 
     # dispatch: owner-local row ids, sentinel rows_per_shard for empty slots
     send = jnp.full((m * k,), rows_per_shard, dtype=gs.dtype)
@@ -731,4 +770,4 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
     pooled = jax.ops.segment_sum(rows_e, seg, num_segments=t * bd)
     pooled = pooled.reshape(t, bd, d)
     pooled = jnp.transpose(pooled, (1, 0, 2))
-    return jax.lax.psum(pooled, MODEL_AXIS)
+    return jax.lax.psum(pooled, MODEL_AXIS), dropped

@@ -147,9 +147,10 @@ def _routed_apply_local(
     each device takes an E/M slice, routes (local-id, update-row) pairs to
     the owner shard through capacity-bucketed all_to_alls (SURVEY.md §7
     hard part (a): 'all-to-all of (id, grad) pairs, then on-shard
-    segment-sum'), and each shard scatters only the ~E/M entries it owns.
-    Capacity overflow DROPS updates (rare under ROW_HASH balancing; see
-    lookup_routed)."""
+    segment-sum'), and each shard scatters only the ~cf*E/M entries it
+    owns.  Capacity overflow DROPS updates — impossible at the default
+    safe capacity factor, counted in-graph otherwise (see lookup_routed).
+    Returns (emb_shard, acc_shard, dropped-scalar)."""
     from .collection import _owner_local
 
     ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
@@ -175,9 +176,12 @@ def _routed_apply_local(
     pos = jnp.take_along_axis(
         jnp.cumsum(oh, axis=0) - oh, owner[:, None], axis=1
     )[:, 0]
-    k = max(8, -(-int(cf * em) // m))
+    k = min(em, max(8, -(-int(cf * em) // m)))
     ok = vs & (pos < k)
     slot = jnp.where(ok, owner * k + pos, m * k)
+    # silently-lost gradient updates are the worst failure mode: count drops
+    # in-graph (zero by construction at the safe default cf)
+    dropped = jax.lax.psum(jnp.sum(vs & ~ok, dtype=jnp.int32), MODEL_AXIS)
 
     send_ids = jnp.full((m * k,), rows_per_shard, dtype=gs.dtype)
     send_ids = send_ids.at[slot].set(local, mode="drop")
@@ -199,7 +203,7 @@ def _routed_apply_local(
         emb_shard = _scatter_step(emb_shard, rl, -scale[:, None] * recv_upd, pack)
     else:
         emb_shard = _scatter_step(emb_shard, rl, -lr * recv_upd, pack)
-    return emb_shard, acc_shard
+    return emb_shard, acc_shard, dropped
 
 
 def _gather_entries_over_data(g_idx, mask, g_pooled):
@@ -221,13 +225,19 @@ def sparse_update(
     optimizer: str = "sgd",  # "sgd" | "row_adagrad"
     eps: float = 1e-8,
     routed: bool = False,
-    capacity_factor: float = 2.0,
-) -> tuple[jax.Array, jax.Array]:
-    """Scatter-apply the embedding optimizer step.  Returns (fused, acc).
+    capacity_factor: float | None = None,
+    return_stats: bool = False,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array]:
+    """Scatter-apply the embedding optimizer step.  Returns (fused, acc),
+    or (fused, acc, dropped) with ``return_stats=True``.
 
     ``routed=True`` (ROW/ROW_HASH/TABLE_WISE only) routes (id, update)
     pairs to owner shards via all_to_all instead of broadcasting — each
-    shard scatters ~E/M entries instead of E (see _routed_apply_local)."""
+    shard scatters ~cf*E/M entries instead of E (see _routed_apply_local).
+    ``capacity_factor=None`` resolves to ``coll.safe_capacity_factor``:
+    overflow drops (silently lost gradient updates) are then IMPOSSIBLE;
+    an explicit lower cf is the throughput mode and drops are counted
+    in-graph — check them via ``return_stats=True``."""
     policy = coll.layout.policy
     pooling = indices.shape[1] // g_pooled.shape[0]
     g_idx = coll.globalize(indices)
@@ -260,10 +270,10 @@ def sparse_update(
                 pack=coll.layout.pack,
                 strided=coll.layout.policy == ShardingPolicy.ROW_HASH,
                 num_shards=coll.layout.num_shards,
-                cf=float(capacity_factor),
+                cf=coll._resolve_cf(capacity_factor),
                 lr=lr, eps=eps, use_adagrad=use_adagrad,
             )
-        return _apply_local(
+        emb_shard, acc_shard = _apply_local(
             emb_shard, acc_shard, g_idx_g, mask_g, g_g,
             pooling=pooling,
             rows_per_shard=rps if rowish else coll.layout.total_rows,
@@ -274,8 +284,10 @@ def sparse_update(
             lr=lr, eps=eps, use_adagrad=use_adagrad,
             psum_sq_over_model=column and use_adagrad,
         )
+        # broadcast path never drops (scatter sees every entry on every shard)
+        return emb_shard, acc_shard, jnp.zeros((), jnp.int32)
 
-    fused, acc = shard_map(
+    fused, acc, dropped = shard_map(
         fn,
         mesh=mesh,
         in_specs=(
@@ -285,9 +297,11 @@ def sparse_update(
             P(None, DATA_AXIS),
             g_spec,
         ),
-        out_specs=(emb_spec, acc_spec),
+        out_specs=(emb_spec, acc_spec, P()),
         check_vma=False,  # model-shard outputs are identical by construction
     )(fused, acc, g_idx, mask, g_pooled)
+    if return_stats:
+        return fused, acc, dropped
     return fused, acc
 
 

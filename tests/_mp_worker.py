@@ -117,8 +117,13 @@ def main() -> None:
     # routed (all-to-all) lookup + update across processes — the collectives
     # that ride ICI/DCN on a real pod (SURVEY.md §2c)
     if policy in (ShardingPolicy.ROW, ShardingPolicy.ROW_HASH):
-        out_r = coll.lookup_routed(fused, idx, mask, batch_size=b)
+        # API-default capacity factor: drops must be impossible even under
+        # contiguous ROW ownership skew (the round-1 red test)
+        out_r, dropped = coll.lookup_routed(
+            fused, idx, mask, batch_size=b, return_stats=True
+        )
         out_r.block_until_ready()
+        assert int(jax.device_get(dropped)) == 0, "routed lookup dropped entries"
         for shard in out_r.addressable_shards:
             np.testing.assert_allclose(
                 np.asarray(shard.data), oracle[shard.index],
@@ -126,11 +131,12 @@ def main() -> None:
                 err_msg=f"routed lookup shard {shard.index} (proc {pid})",
             )
         acc_r = init_accumulator(coll)
-        fused_r, _ = sparse_update(
+        fused_r, _, upd_drops = sparse_update(
             coll, fused, acc_r, idx, mask, g, lr=lr, optimizer="sgd",
-            routed=True,
+            routed=True, return_stats=True,
         )
         fused_r.block_until_ready()
+        assert int(jax.device_get(upd_drops)) == 0, "routed update dropped entries"
         for shard in fused_r.addressable_shards:
             np.testing.assert_allclose(
                 np.asarray(shard.data), expect_fused[shard.index],

@@ -13,6 +13,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 import pytest
 
@@ -38,13 +39,39 @@ def _run_cluster(policy: str, nproc: int = 2, timeout: int = 240):
         )
         for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=timeout) for p in procs]
+    # Liveness guard: if one worker dies (e.g. an assert), its peers block
+    # forever in the next gloo collective — kill them so the failure
+    # surfaces as the dead worker's traceback, not a 240s timeout.
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        codes = [p.poll() for p in procs]
+        if all(c is not None for c in codes):
+            break
+        if any(c not in (None, 0) for c in codes):
+            time.sleep(2)  # grace: let same-fate peers exit on their own
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            break
+        time.sleep(0.2)
+    else:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = [p.communicate(timeout=30) for p in procs]
+    failed = [
+        (pid, p.returncode, out, err)
+        for pid, (p, (out, err)) in enumerate(zip(procs, outs))
+        if p.returncode != 0
+    ]
+    # report a worker that FAILED (nonzero, not our -9 peer-kill) first
+    failed.sort(key=lambda f: (f[1] == -9, f[0]))
+    assert not failed, "\n\n".join(
+        f"worker {pid} rc={rc}\nstdout:\n{out[-2000:]}\nstderr:\n{err[-4000:]}"
+        for pid, rc, out, err in failed
+    )
     for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, (
-            f"worker {pid} rc={p.returncode}\nstdout:\n{out[-2000:]}\n"
-            f"stderr:\n{err[-4000:]}"
-        )
-        assert "OK" in out
+        assert "OK" in out, f"worker {pid} produced no OK\n{out}\n{err}"
 
 
 @pytest.mark.parametrize("policy", ["row_hash", "row", "column", "replicate"])

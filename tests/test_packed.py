@@ -87,7 +87,7 @@ def test_plan_packed_alignment():
     assert lay.rows_per_shard % (8 * lay.pack) == 0
     assert lay.storage_rows * lay.pack == lay.total_rows
     lay = plan(TABLES16, 4, ShardingPolicy.TABLE_WISE, packed=True)
-    assert lay.pack == 8 and lay.rows_per_shard % 8 * lay.pack == 0
+    assert lay.pack == 8 and lay.rows_per_shard % (8 * lay.pack) == 0
 
 
 @pytest.mark.parametrize(
@@ -329,10 +329,9 @@ def test_routed_lookup_parity(mesh, rng, policy, packed):
     """All-to-all routed lookup == broadcast-and-mask lookup == oracle.
 
     Contiguous layouts (ROW/TABLE_WISE) put the small TABLES16 tables
-    wholly on shard 0, so routing is maximally skewed — they need
-    capacity_factor = num_shards for zero drops.  ROW_HASH (strided
-    ownership) balances the same workload at the default cf=2: that is
-    the policy routing is designed for (SURVEY.md §7 hard part (c))."""
+    wholly on shard 0, so routing is maximally skewed — the API-default
+    capacity factor (safe_capacity_factor = num_shards) must make drops
+    impossible regardless (round-1 red-test regression)."""
     tables = TABLES16
     coll = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
     tables_np = [
@@ -341,10 +340,10 @@ def test_routed_lookup_parity(mesh, rng, policy, packed):
     ]
     fused = coll.device_put_tables(tables_np)
     idx, mask, idx3, mask3 = make_query(rng, tables, b=16, l=5)
-    cf = 2.0 if coll.layout.policy == ShardingPolicy.ROW_HASH else 4.0
-    routed = coll.lookup_routed(
-        fused, idx, mask, batch_size=16, capacity_factor=cf
+    routed, dropped = coll.lookup_routed(
+        fused, idx, mask, batch_size=16, return_stats=True
     )
+    assert int(dropped) == 0
     broadcast = coll.lookup(fused, idx, mask, batch_size=16)
     expected = oracle_pooled(tables_np, idx3, mask3)
     np.testing.assert_allclose(
@@ -432,11 +431,11 @@ def test_routed_sparse_update_parity(mesh, rng, policy, packed, optimizer):
     g_pooled = jnp.asarray(
         rng.standard_normal((8, len(tables), 16)).astype(np.float32)
     )
-    cf = 2.0 if policy == ShardingPolicy.ROW_HASH else 4.0
-    fa, aa = sparse_update(
+    fa, aa, dropped = sparse_update(
         ca, fa, aa, idx, mask, g_pooled, lr=0.1, optimizer=optimizer,
-        routed=True, capacity_factor=cf,
+        routed=True, return_stats=True,
     )
+    assert int(dropped) == 0
     fb, ab = sparse_update(
         cb, fb, ab, idx, mask, g_pooled, lr=0.1, optimizer=optimizer,
     )
