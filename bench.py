@@ -32,7 +32,7 @@ def log(*a):
 
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
-                    dtype="float32", packed="auto"):
+                    dtype="float32", packed="auto", quantized=False):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -57,7 +57,21 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         else ShardingPolicy.ROW_HASH  # balanced ownership (docs/PERF.md)
     )
     table_dtype = jnp.dtype(dtype)
-    if hybrid:
+    if quantized:
+        # int8 capacity mode: 4x the rows of f32 in the same HBM (the
+        # MRAM-slice analog, emb_types.h:5); f32 dequant-accumulate
+        from pim_embedding_lookup_tpu.parallel import (
+            QuantizedEmbeddingCollection,
+        )
+
+        coll = QuantizedEmbeddingCollection.create(tables, mesh, policy)
+        log(f"layout: int8 quantized policy={coll.layout.policy} "
+            f"total_rows={coll.layout.total_rows} pack={coll.layout.pack}")
+        params = coll.init(jax.random.PRNGKey(seed))
+
+        def lookup_fn(p, i, m):
+            return coll.lookup(p, i, m, batch_size=batch)
+    elif hybrid:
         coll = HybridEmbeddingCollection.create(tables, mesh, policy, packed=packed)
         log(f"layout: hybrid mxu_tables={len(coll.small_ids)} "
             f"gather_tables={len(coll.big_ids)} dtype={dtype} "

@@ -40,15 +40,18 @@ def _init_acc(coll):
     return init_accumulator(coll)
 
 
-def _apply_sparse(coll, emb, acc, indices, mask, g_pooled, *, lr, optimizer, eps):
+def _apply_sparse(coll, emb, acc, indices, mask, g_pooled, *, lr, optimizer,
+                  eps, routed=False, capacity_factor=None):
     if isinstance(coll, HybridEmbeddingCollection):
         return sparse_update_hybrid(
             coll, emb, acc, indices, mask, g_pooled,
             lr=lr, optimizer=optimizer, eps=eps,
+            routed=routed, capacity_factor=capacity_factor,
         )
     return sparse_update(
         coll, emb, acc, indices, mask, g_pooled,
         lr=lr, optimizer=optimizer, eps=eps,
+        routed=routed, capacity_factor=capacity_factor,
     )
 
 
@@ -74,14 +77,33 @@ def make_sparse_train_step(
     lr: float = 0.1,
     optimizer: str = "sgd",  # embedding optimizer: "sgd" | "row_adagrad"
     eps: float = 1e-8,
+    routed: bool = False,  # all-to-all id routing for lookup + update
+    capacity_factor: float | None = None,
 ) -> Callable:
+    """``routed=True`` sends the sharded (big-set) lookup AND the scatter
+    update through the all-to-all routing paths, so per-shard gather and
+    scatter issue counts scale ~1/M over the model axis — the multi-chip
+    scaling composition (SURVEY.md §2c).  Drop-safe at the default
+    capacity factor; see EmbeddingCollection.lookup_routed."""
     coll = model.collection
+    hybrid = isinstance(coll, HybridEmbeddingCollection)
+
+    def _lookup(emb, indices, mask, b):
+        if not routed:
+            return coll.lookup(emb, indices, mask, batch_size=b)
+        if hybrid:
+            return coll.lookup(
+                emb, indices, mask, batch_size=b, routed=True,
+                capacity_factor=capacity_factor,
+            )
+        return coll.lookup_routed(
+            emb, indices, mask, batch_size=b,
+            capacity_factor=capacity_factor,
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(emb, acc, dense_params, opt_state, dense, indices, mask, labels):
-        pooled = coll.lookup(
-            emb, indices, mask, batch_size=dense.shape[0]
-        )  # [B, T, D]
+        pooled = _lookup(emb, indices, mask, dense.shape[0])  # [B, T, D]
 
         def loss_fn(dp, pooled_in):
             logits = model.apply_from_pooled(
@@ -99,6 +121,7 @@ def make_sparse_train_step(
         emb, acc = _apply_sparse(
             coll, emb, acc, indices, mask, g_pooled,
             lr=lr, optimizer=optimizer, eps=eps,
+            routed=routed, capacity_factor=capacity_factor,
         )
         return emb, acc, dense_params, opt_state, loss
 

@@ -78,3 +78,35 @@ def csr_to_dense(
 
 def bag_lengths(offsets: jax.Array) -> jax.Array:
     return offsets[1:] - offsets[:-1]
+
+
+def shard_csr(
+    bags_per_table: Sequence[Sequence[Sequence[int]]],
+    num_shards: int,
+    capacity_per_shard: int,
+    pad_index: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side builder for the DATA-SHARDED CSR wire form
+    (EmbeddingCollection.lookup_csr(data_sharded=True)).
+
+    ``bags_per_table``: [T][B] list-of-bags; B must divide num_shards.
+    Returns (indices [T, Nd*Cd], offsets [T, Nd*(Bd+1)]): data shard d owns
+    bags [d*Bd, (d+1)*Bd), its entries packed into its own Cd-entry window,
+    its offsets RELATIVE to that window — so both arrays split over the
+    data axis with no cross-shard coupling (the fixed per-shard capacity
+    analog of the reference's MAX_INDICES_PER_BATCH padding, emb_host.h:30).
+    """
+    t = len(bags_per_table)
+    b = len(bags_per_table[0])
+    if b % num_shards:
+        raise ValueError(f"batch {b} not divisible by {num_shards} shards")
+    bd = b // num_shards
+    indices = np.full((t, num_shards * capacity_per_shard), pad_index, np.int32)
+    offsets = np.zeros((t, num_shards * (bd + 1)), np.int32)
+    for ti, bags in enumerate(bags_per_table):
+        for d in range(num_shards):
+            local = bags[d * bd : (d + 1) * bd]
+            idx, off = pack_bags(local, capacity_per_shard, pad_index)
+            indices[ti, d * capacity_per_shard : (d + 1) * capacity_per_shard] = idx
+            offsets[ti, d * (bd + 1) : (d + 1) * (bd + 1)] = off
+    return indices, offsets

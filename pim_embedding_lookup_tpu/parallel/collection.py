@@ -232,34 +232,52 @@ class EmbeddingCollection:
         self,
         fused_table: jax.Array,
         indices: jax.Array,  # [T, C] flat per-table ids, padded
-        offsets: jax.Array,  # [T, B+1] per-table bag offsets
+        offsets: jax.Array,  # [T, B+1] bag offsets ([T, Nd*(Bd+1)] sharded)
+        *,
+        combiner: str = "sum",  # "sum" | "mean" | "max"
+        data_sharded: bool = False,
     ) -> jax.Array:
-        """Pooled SUM lookup over ragged (CSR) bags — the reference's exact
+        """Pooled lookup over ragged (CSR) bags — the reference's exact
         API shape (emb_host.h:234 ``lookup(uint32_t **indices, uint32_t
-        **offsets, ...)``) generalized over the mesh.
+        **offsets, ...)``) generalized over the mesh, with the full
+        torch-EmbeddingBag combiner set (reference hardwires SUM,
+        emb_dpu_lookup.c:114).
 
-        Unlike ``lookup`` (fixed pooling L), bags here have arbitrary
-        lengths encoded in offsets; pooling is a segment-sum per table.
-        Batch is NOT sharded over the data axis in this form (offsets don't
-        split cleanly); use the dense form for DP serving.
+        Unlike ``lookup`` (fixed pooling L), bags have arbitrary lengths
+        encoded in offsets; pooling is a segment reduce per table.  Empty
+        bags pool to 0 for every combiner (torch parity).
+
+        ``data_sharded=False`` (default): offsets [T, B+1], one CSR stream,
+        batch replicated over the data axis.
+
+        ``data_sharded=True``: PER-SHARD CSR with fixed per-shard capacity —
+        the DP serving form.  indices [T, Nd*Cd] and offsets
+        [T, Nd*(Bd+1)] are both sharded over the data axis on dim 1: data
+        shard d holds its own Cd-entry buffer and its own (Bd+1) offsets
+        RELATIVE to that buffer (build with ops.ragged.shard_csr).  Output
+        [Nd*Bd, T, D] is batch-sharded like the dense form.
         """
         t, c = indices.shape
-        b = offsets.shape[1] - 1
+        nd = self.mesh.shape[DATA_AXIS] if data_sharded else 1
+        if c % nd or offsets.shape[1] % nd:
+            raise ValueError(
+                f"data_sharded CSR needs data axis {nd} to divide capacity "
+                f"{c} and offsets width {offsets.shape[1]}"
+            )
+        b_local = offsets.shape[1] // nd - 1
         g_idx = self.globalize(indices)
-        # per-entry bag id within its table: [T, C] in [0..B] (B = padding)
-        from ..ops.ragged import segment_ids_from_offsets
-
-        seg = jax.vmap(lambda o: segment_ids_from_offsets(o, c))(offsets)
         return _lookup_csr_dispatch(
             self.mesh,
             self.layout.policy,
             self.layout.rows_per_shard,
-            b,
+            b_local,
             self.layout.pack,
             self.layout.policy == ShardingPolicy.ROW_HASH,
+            combiner,
+            data_sharded,
             fused_table,
             g_idx,
-            seg.astype(jnp.int32),
+            offsets.astype(jnp.int32),
         )
 
     @property
@@ -370,47 +388,66 @@ class EmbeddingCollection:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "policy", "rows_per_shard", "batch", "pack", "strided"
+        "mesh", "policy", "rows_per_shard", "batch", "pack", "strided",
+        "combiner", "data_sharded",
     ),
 )
 def _lookup_csr_dispatch(
-    mesh, policy, rows_per_shard, batch, pack, strided, fused_table, g_idx, seg
+    mesh, policy, rows_per_shard, batch, pack, strided, combiner,
+    data_sharded, fused_table, g_idx, offsets
 ):
+    q_spec = P(None, DATA_AXIS) if data_sharded else P()
+    bdim = DATA_AXIS if data_sharded else None
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None, pack, False, 1),
+            functools.partial(
+                _csr_pooled_lookup, batch, None, pack, False, 1, combiner
+            ),
             mesh=mesh,
-            in_specs=(P(None, MODEL_AXIS), P(), P()),
-            out_specs=P(None, None, MODEL_AXIS),
+            in_specs=(P(None, MODEL_AXIS), q_spec, q_spec),
+            out_specs=P(bdim, None, MODEL_AXIS),
+            check_vma=False,
         )
-        return fn(fused_table, g_idx, seg)
+        return fn(fused_table, g_idx, offsets)
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_csr_pooled_lookup, batch, None, pack, False, 1),
+            functools.partial(
+                _csr_pooled_lookup, batch, None, pack, False, 1, combiner
+            ),
             mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=P(None, None, None),
+            in_specs=(P(), q_spec, q_spec),
+            out_specs=P(bdim, None, None),
             check_vma=False,  # identical on all shards by construction
         )
-        return fn(fused_table, g_idx, seg)
+        return fn(fused_table, g_idx, offsets)
     local = functools.partial(
         _csr_pooled_lookup, batch, rows_per_shard, pack, strided,
-        mesh.shape[MODEL_AXIS],
+        mesh.shape[MODEL_AXIS], combiner,
     )
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), P(), P()),
-        out_specs=P(None, None, None),
+        in_specs=(P(MODEL_AXIS, None), q_spec, q_spec),
+        out_specs=P(bdim, None, None),
         check_vma=False,
     )
-    return fn(fused_table, g_idx, seg)
+    return fn(fused_table, g_idx, offsets)
 
 
 def _csr_pooled_lookup(batch, rows_per_shard, pack, strided, num_shards,
-                       table_shard, g_idx, seg):
-    """[rows, D], [T, C], [T, C] -> [B, T, D] segment-sum pooled lookup."""
+                       combiner, table_shard, g_idx, offsets):
+    """[rows, D], [T, C], [T, B+1] -> [B, T, D] segment-pooled lookup.
+
+    Per-device body: offsets are LOCAL to this device's entry window (the
+    data_sharded contract) or global (replicated form — same thing at
+    nd=1).  The per-entry bag walk of the reference DPU kernel
+    (emb_dpu_lookup.c:106-116) becomes a vectorized searchsorted +
+    segment reduce."""
+    from ..ops.ragged import segment_ids_from_offsets
+
     t, c = g_idx.shape
+    seg = jax.vmap(lambda o: segment_ids_from_offsets(o, c))(offsets)
+    seg = seg.astype(jnp.int32)
     valid = seg < batch
     if rows_per_shard is not None:
         shard = jax.lax.axis_index(MODEL_AXIS)
@@ -423,17 +460,35 @@ def _csr_pooled_lookup(batch, rows_per_shard, pack, strided, num_shards,
         local = g_idx
         owned = valid
     rows = _gather_f32(table_shard, local.reshape(-1), pack)
-    rows = rows * owned.reshape(-1)[:, None].astype(rows.dtype)
     # fused segment ids: table t bag b -> t*(batch+1)+b
     tid = jax.lax.broadcasted_iota(jnp.int32, (t, c), 0)
     fseg = (tid * (batch + 1) + jnp.minimum(seg, batch)).reshape(-1)
-    pooled = jax.ops.segment_sum(
-        rows, fseg, num_segments=t * (batch + 1), indices_are_sorted=True
-    ).reshape(t, batch + 1, -1)[:, :batch, :]
+    owned_f = owned.reshape(-1)
+    if combiner == "max":
+        rows = jnp.where(owned_f[:, None], rows, _NEG_INF)
+        pooled = jax.ops.segment_max(
+            rows, fseg, num_segments=t * (batch + 1), indices_are_sorted=True
+        )
+    else:
+        rows = rows * owned_f[:, None].astype(rows.dtype)
+        pooled = jax.ops.segment_sum(
+            rows, fseg, num_segments=t * (batch + 1), indices_are_sorted=True
+        )
+    pooled = pooled.reshape(t, batch + 1, -1)[:, :batch, :]
     pooled = jnp.transpose(pooled, (1, 0, 2))
     if rows_per_shard is not None:
-        pooled = jax.lax.psum(pooled, MODEL_AXIS)
-    return pooled
+        pooled = (
+            jax.lax.pmax(pooled, MODEL_AXIS) if combiner == "max"
+            else jax.lax.psum(pooled, MODEL_AXIS)
+        )
+    if combiner == "sum":
+        return pooled
+    # bag sizes from the offsets themselves (valid entries only by contract)
+    counts = (offsets[:, 1:] - offsets[:, :-1]).astype(pooled.dtype)  # [T, B]
+    counts = jnp.transpose(counts, (1, 0))[..., None]  # [B, T, 1]
+    if combiner == "mean":
+        return pooled / jnp.maximum(counts, 1)
+    return jnp.where(counts > 0, pooled, 0.0)  # max: empty bags -> 0
 
 
 def _rowish(policy):

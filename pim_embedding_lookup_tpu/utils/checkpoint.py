@@ -75,6 +75,41 @@ def saved_meta(path: str) -> dict | None:
         return json.load(f)
 
 
+def validate_meta(path: str, expect_meta: dict) -> None:
+    """Raise if the checkpoint's layout fingerprint contradicts
+    ``expect_meta`` (subset match over expect_meta's keys)."""
+    found = saved_meta(os.path.abspath(path))
+    if found is not None and any(
+        found.get(k) != v for k, v in expect_meta.items()
+    ):
+        raise ValueError(
+            f"checkpoint layout mismatch at {path}: "
+            f"{_meta_diff(found, expect_meta)} — the saved fused table's "
+            "storage order differs from this collection's plan; rebuild the "
+            "collection with the saved layout (policy/pack/shards) or "
+            "re-export the checkpoint"
+        )
+
+
+def restore_raw(path: str) -> Any:
+    """Restore the raw saved pytree (host-side numpy, no template) — for
+    picking a sub-tree (e.g. params) out of a full-train-state checkpoint.
+    Materializes on host: fine for model export/inference bring-up, not for
+    resuming 100M-row sharded tables (use ``restore`` with a template)."""
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def pin_like(tree: Any, template: Any) -> Any:
+    """device_put every leaf of ``tree`` to the matching template leaf's
+    sharding (host numpy -> correctly sharded jax.Array)."""
+
+    def pin(r, t):
+        sh = getattr(t, "sharding", None)
+        return jax.device_put(r, sh) if sh is not None else r
+
+    return jax.tree.map(pin, tree, template)
+
+
 def restore(path: str, template: Any, *, expect_meta: dict | None = None) -> Any:
     """Restore into the shardings/structure of ``template`` (an abstract or
     concrete pytree matching what was saved).
@@ -87,17 +122,7 @@ def restore(path: str, template: Any, *, expect_meta: dict | None = None) -> Any
     with no check."""
     path = os.path.abspath(path)
     if expect_meta is not None:
-        found = saved_meta(path)
-        if found is not None and any(
-            found.get(k) != v for k, v in expect_meta.items()
-        ):
-            diffs = _meta_diff(found, expect_meta)
-            raise ValueError(
-                f"checkpoint layout mismatch at {path}: {diffs} — the saved "
-                "fused table's storage order differs from this collection's "
-                "plan; rebuild the collection with the saved layout "
-                "(policy/pack/shards) or re-export the checkpoint"
-            )
+        validate_meta(path, expect_meta)
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))

@@ -58,7 +58,12 @@ def test_save_load_roundtrip(tmp_path):
     ]
     r1 = run_cli("train", *common, f"--save-model={ckpt}")
     assert r1.returncode == 0, r1.stderr[-2000:]
-    assert "saved model" in r1.stdout
+    # sparse path (default) saves the FULL train state (emb+acc+opt+step)
+    assert "saved full train state" in r1.stdout
     r2 = run_cli("train", "--inference-only", *common, f"--load-model={ckpt}")
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "loaded model" in r2.stdout
+    # full-state resume path announces the step it resumed at
+    r3 = run_cli("train", *common, f"--load-model={ckpt}")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert "resumed full train state" in r3.stdout and "at step 3" in r3.stdout

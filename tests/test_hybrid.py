@@ -27,7 +27,9 @@ def test_split_and_routing(mesh):
     coll = HybridEmbeddingCollection.create(
         TABLES, mesh, ShardingPolicy.ROW, mxu_threshold=1000
     )
-    assert coll.small_ids == (0, 2, 4)
+    # small set ordered by MXU bucket size (pow2 padding): 7->8, 50->64,
+    # 300->512
+    assert coll.small_ids == (4, 0, 2)
     assert coll.big_ids == (1, 3)
     # perm maps original order -> concat(small, big) positions
     order = list(coll.small_ids) + list(coll.big_ids)

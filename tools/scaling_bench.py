@@ -38,7 +38,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def rate_at(num_shards, axis, tables, batch, pooling, iters, policy_name):
+def rate_at(num_shards, axis, tables, batch, pooling, iters, policy_name,
+            capacity_factor=2.0):
     import jax
     import jax.numpy as jnp
 
@@ -73,13 +74,25 @@ def rate_at(num_shards, axis, tables, batch, pooling, iters, policy_name):
         [max(1, tb.num_rows // 7 + 1) for tb in tables], dtype=jnp.int32
     )
     routed = axis == "routed" and num_shards > 1
+    drops = 0
+    if routed:
+        # throughput-mode cf (the whole point of this axis: per-shard gather
+        # issues ~cf*E/M); verify the uniform stream really incurs no drops
+        _, d = coll.lookup_routed(
+            fused, idx, mask, batch_size=b,
+            capacity_factor=capacity_factor, return_stats=True,
+        )
+        drops = int(jax.device_get(d))
 
     @jax.jit
     def loop(fused, idx, n):
         def body(i, carry):
             acc, idx_i = carry
             if routed:
-                out = coll.lookup_routed(fused, idx_i, mask, batch_size=b)
+                out = coll.lookup_routed(
+                    fused, idx_i, mask, batch_size=b,
+                    capacity_factor=capacity_factor,
+                )
             else:
                 out = coll.lookup(fused, idx_i, mask, batch_size=b)
             return acc + jnp.sum(out), (idx_i + stride[:, None]) % rows_arr[:, None]
@@ -91,7 +104,7 @@ def rate_at(num_shards, axis, tables, batch, pooling, iters, policy_name):
     t0 = time.perf_counter()
     jax.block_until_ready(loop(fused, idx, iters))
     dt = (time.perf_counter() - t0) / iters
-    return b * t / dt
+    return b * t / dt, drops
 
 
 def main():
@@ -108,6 +121,9 @@ def main():
     ap.add_argument("--pooling", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--policy", default="row_hash")
+    ap.add_argument("--capacity-factor", type=float, default=2.0,
+                    help="routed-axis bucket capacity (throughput mode; "
+                         "drops are counted and reported)")
     args = ap.parse_args()
 
     import os
@@ -130,19 +146,22 @@ def main():
     )
     n = jax.device_count()
     shard_counts = [s for s in [1, 2, 4, 8, 16, 32] if s <= n]
-    results = {}
+    results, drops = {}, {}
     for s in shard_counts:
-        results[s] = rate_at(
+        results[s], drops[s] = rate_at(
             s, args.axis, tables, args.batch, args.pooling, args.iters,
-            args.policy,
+            args.policy, args.capacity_factor,
         )
-        print(f"shards={s}: {results[s]/1e6:.2f}M lookups/s", file=sys.stderr)
+        print(f"shards={s}: {results[s]/1e6:.2f}M lookups/s "
+              f"(drops={drops[s]})", file=sys.stderr)
 
     base = results[shard_counts[0]]
     print(json.dumps({
         "axis": args.axis,
         "policy": args.policy,
+        "capacity_factor": args.capacity_factor,
         "lookups_per_s": {str(s): round(r, 1) for s, r in results.items()},
+        "routed_drops": {str(s): d for s, d in drops.items()},
         "scaling_efficiency": {
             str(s): round(r / (base * s), 3) for s, r in results.items()
         },

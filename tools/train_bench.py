@@ -30,6 +30,11 @@ def main():
                          "embedding collection")
     ap.add_argument("--no-packed", action="store_true",
                     help="disable lane-packed storage (hybrid big set)")
+    ap.add_argument("--routed", action="store_true",
+                    help="all-to-all id routing for the sharded lookup + "
+                         "scatter update (multi-chip scaling path)")
+    ap.add_argument("--capacity-factor", type=float, default=2.0,
+                    help="routed bucket capacity (throughput mode)")
     args = ap.parse_args()
 
     import jax
@@ -91,8 +96,24 @@ def main():
         [max(1, tb.num_rows // 7 + 1) for tb in cfg.tables], dtype=jnp.int32
     )
 
+    from pim_embedding_lookup_tpu.parallel.hybrid import (
+        HybridEmbeddingCollection as _Hyb,
+    )
+
+    routed = args.routed and jax.device_count() > 1
+    cf = args.capacity_factor
+
+    def _lookup(emb, idx_i):
+        if not routed:
+            return coll.lookup(emb, idx_i, mask, batch_size=b)
+        if isinstance(coll, _Hyb):
+            return coll.lookup(emb, idx_i, mask, batch_size=b, routed=True,
+                               capacity_factor=cf)
+        return coll.lookup_routed(emb, idx_i, mask, batch_size=b,
+                                  capacity_factor=cf)
+
     def step_body(emb, acc, dp, os_, idx_i):
-        pooled = coll.lookup(emb, idx_i, mask, batch_size=b)
+        pooled = _lookup(emb, idx_i)
 
         def loss_fn(dp_, pooled_):
             logits = model.apply_from_pooled({**dp_, "emb": None}, dense_x, pooled_)
@@ -106,6 +127,7 @@ def main():
         emb, acc = _apply_sparse(
             coll, emb, acc, idx_i, mask, g_pooled,
             lr=lr, optimizer=args.optimizer, eps=1e-8,
+            routed=routed, capacity_factor=cf if routed else None,
         )
         return emb, acc, dp, os_, loss
 
@@ -134,6 +156,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": f"{args.config}_sparse_train_step",
+        "routed": routed,
         "us_per_step": round(dt * 1e6, 1),
         "samples_per_s": round(b / dt, 1),
         "loss_mean": float(state[-1]) / args.iters,
