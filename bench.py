@@ -32,7 +32,8 @@ def log(*a):
 
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
-                    dtype="float32", packed="auto", quantized=False):
+                    dtype="float32", packed="auto", quantized=False,
+                    mxu_threshold=None):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -72,7 +73,11 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
     elif hybrid:
-        coll = HybridEmbeddingCollection.create(tables, mesh, policy, packed=packed)
+        kw = {}
+        if mxu_threshold:
+            kw["mxu_threshold"] = mxu_threshold
+        coll = HybridEmbeddingCollection.create(tables, mesh, policy,
+                                                packed=packed, **kw)
         log(f"layout: hybrid mxu_tables={len(coll.small_ids)} "
             f"gather_tables={len(coll.big_ids)} dtype={dtype} "
             f"pack={coll.big.layout.pack if coll.big else 1}")
@@ -191,6 +196,13 @@ def main():
                     help="table storage dtype (accumulation is always f32)")
     ap.add_argument("--no-packed", action="store_true",
                     help="disable lane-packed storage for dim<128 tables")
+    ap.add_argument("--mxu-threshold", type=int, default=0,
+                    help="override the hybrid small-table row threshold "
+                         "(0 = library default)")
+    ap.add_argument("--tables-filter", default="",
+                    choices=["", "small", "big"],
+                    help="bench only the tables below/above the MXU "
+                         "threshold (cost-split diagnostic)")
     args = ap.parse_args()
 
     from pim_embedding_lookup_tpu.config import (
@@ -216,11 +228,18 @@ def main():
         args.pooling = {"kaggle": 1, "toy": 1, "random": 120, "bigtable": 32}[
             args.config
         ]
+    if args.tables_filter:
+        thr = args.mxu_threshold or 8192
+        keep = ((lambda n: n <= thr) if args.tables_filter == "small"
+                else (lambda n: n > thr))
+        tables = tuple(tb for tb in tables if keep(tb.num_rows))
+        log(f"tables-filter={args.tables_filter}: {len(tables)} tables")
 
     lookups_per_s, gbps, dt = tpu_lookup_rate(
         tables, args.batch, args.pooling, args.iters,
         hybrid=not args.no_hybrid, dtype=args.dtype,
         packed=False if args.no_packed else "auto",
+        mxu_threshold=args.mxu_threshold,
     )
 
     vs_baseline = None

@@ -27,7 +27,8 @@ def _add_arch_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--arch-mlp-bot", type=str, default="13-512-256-64-16")
     p.add_argument("--arch-mlp-top", type=str, default="512-256-1")
     p.add_argument("--sharding", type=str, default="auto",
-                   choices=["auto", "replicate", "row", "column", "table_wise"])
+                   choices=["auto", "replicate", "row", "row_hash", "column",
+                            "table_wise"])
     p.add_argument("--mesh-data", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=0, help="0 = all remaining")
 
@@ -89,6 +90,16 @@ def cmd_train(argv):
                    help="hybrid embedding collection: MXU one-hot matmuls "
                         "for small tables, lane-packed sharded gather for "
                         "big tables (fastest, docs/PERF.md)")
+    p.add_argument("--routed", action="store_true",
+                   help="all-to-all id routing for the sharded lookup + "
+                        "scatter update (multi-chip issue-rate scaling; "
+                        "needs a rowish sharding and >1 device)")
+    p.add_argument("--hot-k", type=int, default=0,
+                   help="replicate the K hottest rows and serve them "
+                        "locally in routed lookups (parallel/hotcache.py)")
+    p.add_argument("--hot-rebuild-every", type=int, default=50,
+                   help="refresh the (stale-after-update) hot-row replica "
+                        "every N train steps")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -182,9 +193,33 @@ def cmd_train(argv):
         dense_opt, opt_state, acc = make_sparse_train_state(
             model, params, optimizer=emb_opt, lr=args.learning_rate
         )
+        routed = args.routed and jax.device_count() > 1
+        use_hot = bool(routed and args.hot_k)
         step = make_sparse_train_step(
-            model, dense_opt, lr=args.learning_rate, optimizer=emb_opt
+            model, dense_opt, lr=args.learning_rate, optimizer=emb_opt,
+            routed=routed, hot_cache=use_hot,
         )
+
+        hot_state = None  # (target_coll, hot_ids_np, sel_rows) for rebuilds
+        if use_hot:
+            from .parallel.hotcache import build_hot_cache, hot_ids_from_sample
+            from .parallel.hybrid import HybridEmbeddingCollection as _Hyb
+
+            coll0 = model.collection
+            hybrid0 = isinstance(coll0, _Hyb)
+            target = coll0.big if hybrid0 else coll0
+            sel = list(coll0.big_ids) if hybrid0 else None
+            sample = np.concatenate(
+                [b_[1] if sel is None else b_[1][sel] for b_ in batches[:32]],
+                axis=1,
+            )
+            hot_ids = hot_ids_from_sample(target, sample, args.hot_k)
+
+            def rebuild_hot(emb_now):
+                tbl = emb_now["big"] if hybrid0 else emb_now
+                return build_hot_cache(target, tbl, hot_ids)
+
+            hot_state = rebuild_hot
         dense_params = {k: params[k] for k in ("bot", "top")}
         emb = params["emb"]
         eval_step = make_eval_step(model)
@@ -206,6 +241,7 @@ def cmd_train(argv):
             print(f"resumed full train state from {args.load_model} "
                   f"at step {stepno}")
         t0 = time.perf_counter()
+        hc = hot_state(emb) if hot_state else ()
         for epoch in range(args.nepochs):
             # background thread stages upcoming batches onto the device
             # while the current step computes (SURVEY §7 hard part (d))
@@ -214,9 +250,13 @@ def cmd_train(argv):
                     emb, acc, dense_params, opt_state, loss = step(
                         emb, acc, dense_params, opt_state,
                         jnp.asarray(dense_x), jnp.asarray(idx),
-                        jnp.asarray(mask), jnp.asarray(labels),
+                        jnp.asarray(mask), jnp.asarray(labels), *hc,
                     )
                 stepno += 1
+                if hot_state and stepno % max(1, args.hot_rebuild_every) == 0:
+                    # refresh the replica from the live table so hot rows
+                    # never drift more than rebuild_every optimizer steps
+                    hc = hot_state(emb)
                 if args.test_freq and stepno % args.test_freq == 0:
                     params = {**dense_params, "emb": emb}
                     probs, labs = [], []

@@ -79,31 +79,50 @@ def make_sparse_train_step(
     eps: float = 1e-8,
     routed: bool = False,  # all-to-all id routing for lookup + update
     capacity_factor: float | None = None,
+    hot_cache: bool = False,  # step takes (hot_ids, hot_rows) trailing args
 ) -> Callable:
     """``routed=True`` sends the sharded (big-set) lookup AND the scatter
     update through the all-to-all routing paths, so per-shard gather and
     scatter issue counts scale ~1/M over the model axis — the multi-chip
     scaling composition (SURVEY.md §2c).  Drop-safe at the default
-    capacity factor; see EmbeddingCollection.lookup_routed."""
+    capacity factor; see EmbeddingCollection.lookup_routed.
+
+    ``hot_cache=True`` (routed only): the step takes two trailing args
+    ``(hot_ids [K], hot_rows [K, D])`` — a replicated hot-row snapshot
+    (parallel/hotcache.py) that serves zipf-hot entries locally and keeps
+    them out of the all-to-all.  The cache goes STALE as updates land;
+    the training driver rebuilds it every ``--hot-rebuild-every`` steps
+    with ``build_hot_cache`` (cheap: K owner-gathers + one psum).  Passing
+    the cache as jit ARGUMENTS (not closure) means rebuilds reuse the same
+    compiled step."""
     coll = model.collection
     hybrid = isinstance(coll, HybridEmbeddingCollection)
+    if hot_cache and not routed:
+        raise ValueError("hot_cache is a routed-lookup feature")
 
-    def _lookup(emb, indices, mask, b):
+    def _lookup(emb, indices, mask, b, hc):
         if not routed:
             return coll.lookup(emb, indices, mask, batch_size=b)
         if hybrid:
             return coll.lookup(
                 emb, indices, mask, batch_size=b, routed=True,
-                capacity_factor=capacity_factor,
+                capacity_factor=capacity_factor, hot_cache=hc,
             )
         return coll.lookup_routed(
             emb, indices, mask, batch_size=b,
-            capacity_factor=capacity_factor,
+            capacity_factor=capacity_factor, hot_cache=hc,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(emb, acc, dense_params, opt_state, dense, indices, mask, labels):
-        pooled = _lookup(emb, indices, mask, dense.shape[0])  # [B, T, D]
+    def train_step(emb, acc, dense_params, opt_state, dense, indices, mask,
+                   labels, *hc_args):
+        if bool(hc_args) != hot_cache:
+            raise TypeError(
+                "step built with hot_cache=%s but got %d trailing cache args"
+                % (hot_cache, len(hc_args))
+            )
+        hc = tuple(hc_args) if hc_args else None
+        pooled = _lookup(emb, indices, mask, dense.shape[0], hc)  # [B, T, D]
 
         def loss_fn(dp, pooled_in):
             logits = model.apply_from_pooled(

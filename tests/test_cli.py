@@ -49,6 +49,21 @@ def test_inference_only():
     assert "inference:" in r.stdout  # --print-time phase report
 
 
+def test_train_routed_hot_cache():
+    """Routed sparse training with the hot-row replica + periodic rebuild
+    (--hot-k / --hot-rebuild-every, VERDICT r1 item 10)."""
+    r = run_cli(
+        "train", "--data-generation=random",
+        "--arch-embedding-size=200-9000-20000", "--arch-sparse-feature-size=8",
+        "--arch-mlp-bot=4-8-8", "--arch-mlp-top=8-1", "--sharding=row_hash",
+        "--mini-batch-size=16", "--num-batches=6", "--num-indices-per-lookup=2",
+        "--hybrid", "--routed", "--hot-k=16", "--hot-rebuild-every=2",
+        "--test-freq=3", "--mesh-model=4",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "step 3:" in r.stdout and "auc=" in r.stdout
+
+
 def test_save_load_roundtrip(tmp_path):
     ckpt = str(tmp_path / "model_ckpt")
     common = [

@@ -103,6 +103,7 @@ def main():
     mask = jnp.ones((t, b * l), bool)
 
     hot_cache = None
+    hot_hit_rate = None
     if routed and args.hot_k:
         from pim_embedding_lookup_tpu.parallel.hotcache import (
             build_hot_cache, hot_ids_from_sample,
@@ -112,9 +113,14 @@ def main():
         sel = list(coll.big_ids) if hybrid else list(range(t))
         sample = np.concatenate([r[2][sel] for r in pool], axis=1)
         emb_t = params["emb"]["big"] if hybrid else params["emb"]
-        hot_cache = build_hot_cache(
-            target, emb_t, hot_ids_from_sample(target, sample, args.hot_k)
-        )
+        hot_ids = hot_ids_from_sample(target, sample, args.hot_k)
+        hot_cache = build_hot_cache(target, emb_t, hot_ids)
+        # routed-load reduction: cache hits are served from the local
+        # replica and never enter the all-to-all, so the hit rate IS the
+        # fraction of big-set entries removed from routing (VERDICT item 10)
+        offs = np.asarray(target.layout.row_offsets, dtype=np.int64)
+        fused = (sample.astype(np.int64) + offs[:, None]).reshape(-1)
+        hot_hit_rate = round(float(np.isin(fused, hot_ids).mean()), 4)
 
     cf = args.capacity_factor
 
@@ -188,6 +194,7 @@ def main():
         "zipf": args.zipf,
         "routed": routed,
         "hot_k": args.hot_k if routed else 0,
+        "hot_hit_rate": hot_hit_rate,
         "routed_entry_drops": drops,
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "p95_ms": round(float(np.percentile(lat_ms, 95)), 3),
