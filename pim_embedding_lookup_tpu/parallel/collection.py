@@ -106,20 +106,17 @@ class EmbeddingCollection:
         m = lay.num_shards
         srows_per_shard = lay.rows_per_shard // pack
 
-        def make(k):
+        def slab_vals(k, row0, nrows):
             # generate in f32, cast once at the end — low-precision uniform/
             # searchsorted compile poorly and lose init quality
-            u = jax.random.uniform(
-                k, (lay.storage_rows, lay.storage_width), jnp.float32,
-                -1.0, 1.0,
-            )
+            shape = (nrows, lay.storage_width)
+            u = jax.random.uniform(k, shape, jnp.float32, -1.0, 1.0)
             # fused id of storage position (q, l): shard s = q // (rps/pack),
             # owner-local row j = (q % (rps/pack))*pack + l//dim; contiguous
             # layouts map j back as g = s*rps + j, strided (ROW_HASH) as
             # g = j*m + s.  All fully fused elementwise — nothing
             # materializes besides u.
-            shape = (lay.storage_rows, lay.storage_width)
-            q = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            q = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
             lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
             s = q // srows_per_shard
             j = (q % srows_per_shard) * pack + lane // dim
@@ -132,6 +129,26 @@ class EmbeddingCollection:
                 jnp.minimum(tid, len(lay.table_rows) - 1),
             )
             return (u * scale).astype(dtype)
+
+        # Big tables init in row slabs: the f32/i32 intermediates above are
+        # ~3x the f32 table size, which OOMs compile at >=8GB tables
+        # (measured: 32 x 1M x dim64 wants 23GB of 15.75GB HBM).  Slabbed,
+        # transients stay ~3GB while the output lands at final dtype.
+        slab = _INIT_SLAB_ROWS * 128 // lay.storage_width
+        if lay.storage_rows <= slab:
+            fn = lambda k: slab_vals(k, jnp.int32(0), lay.storage_rows)
+            return jax.jit(fn, out_shardings=self.table_sharding)(key)
+
+        nslabs = -(-lay.storage_rows // slab)
+
+        def make(k):
+            def body(i, out):
+                row0 = jnp.minimum(i * slab, lay.storage_rows - slab)
+                vals = slab_vals(jax.random.fold_in(k, i), row0, slab)
+                return jax.lax.dynamic_update_slice(out, vals, (row0, 0))
+
+            out0 = jnp.zeros((lay.storage_rows, lay.storage_width), dtype)
+            return jax.lax.fori_loop(0, nslabs, body, out0)
 
         return jax.jit(make, out_shardings=self.table_sharding)(key)
 
@@ -215,6 +232,10 @@ class EmbeddingCollection:
             self.layout.pack,
             self.layout.policy == ShardingPolicy.ROW_HASH,
             combiner,
+            _use_pallas_gather(
+                fused_table.dtype, self.layout.pack,
+                self.layout.storage_width, combiner,
+            ),
             fused_table,
             g_idx,
             mask,
@@ -527,16 +548,18 @@ def _finish_combiner(combiner, pooling, pooled, mask):
     jax.jit,
     static_argnames=(
         "mesh", "policy", "rows_per_shard", "pooling", "pack", "strided",
-        "combiner",
+        "combiner", "use_pallas",
     ),
 )
 def _lookup_dispatch(
     mesh, policy, rows_per_shard, pooling, pack, strided, combiner,
-    fused_table, g_idx, mask
+    use_pallas, fused_table, g_idx, mask
 ):
     if policy == ShardingPolicy.REPLICATE:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling, pack, combiner),
+            functools.partial(
+                _local_pooled_lookup, pooling, pack, combiner, use_pallas
+            ),
             mesh=mesh,
             in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
             out_specs=P(DATA_AXIS, None, None),
@@ -545,7 +568,9 @@ def _lookup_dispatch(
 
     if policy == ShardingPolicy.COLUMN:
         fn = shard_map(
-            functools.partial(_local_pooled_lookup, pooling, pack, combiner),
+            functools.partial(
+                _local_pooled_lookup, pooling, pack, combiner, False
+            ),
             mesh=mesh,
             in_specs=(
                 P(None, MODEL_AXIS),
@@ -563,7 +588,7 @@ def _lookup_dispatch(
     # merge.
     local = functools.partial(
         _rowshard_pooled_lookup, rows_per_shard, pooling, pack, strided,
-        mesh.shape[MODEL_AXIS], combiner,
+        mesh.shape[MODEL_AXIS], combiner, use_pallas,
     )
     fn = shard_map(
         local,
@@ -576,6 +601,54 @@ def _lookup_dispatch(
         out_specs=P(DATA_AXIS, None, None),
     )
     return fn(fused_table, g_idx, mask)
+
+
+# Gather-engine selection for full-width rows.  Measured (docs/PERF.md
+# "Pallas kernel status"): the fused pallas row-DMA kernel beats XLA's
+# gather by ~1.26x when rows are full 128-lane f32 (bigtable shape:
+# 11.1ms vs 14.0ms per 524k-entry call) and loses ~1.6x on lane-packed
+# small dims — so it dispatches ONLY for pack==1, width==128, f32, non-max.
+# "auto" enables it on the TPU backend; tests force "on" under Mosaic
+# interpret mode; "off" pins the XLA gather.
+PALLAS_GATHER = "auto"
+
+_PALLAS_NBUF = 32  # outstanding row DMAs (measured best at 32-64)
+
+
+def _use_pallas_gather(table_dtype, pack, width, combiner):
+    if PALLAS_GATHER == "off":
+        return False
+    if combiner == "max" or pack != 1 or width != 128:
+        return False
+    if jnp.dtype(table_dtype) != jnp.float32:
+        return False
+    if PALLAS_GATHER == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_tile_b(bags, pooling):
+    """Largest bag tile with unroll e = tile_b*pooling capped at 2048
+    (kernel entry loops are python-unrolled; compile time scales with e).
+    0 = no valid tile -> fall back to the XLA gather."""
+    for tb in (128, 64, 32, 16, 8):
+        if bags % tb == 0 and (tb * pooling) % 8 == 0 and tb * pooling <= 2048:
+            return tb
+    return 0
+
+
+def _pallas_pool(table, flat_ids, flat_valid, t, c, pooling, tile_b):
+    """Fused gather+pool through the pallas row-DMA kernel:
+    [rows,128] f32, [T*C] ids/validity -> [B', T, 128]."""
+    from ..ops.pallas_lookup import pallas_embedding_bag_fixedl
+
+    bags = t * (c // pooling)
+    out = pallas_embedding_bag_fixedl(
+        table, table.shape[-1], flat_ids,
+        pooling=pooling, batch_size=bags, tile_b=tile_b,
+        nbuf=_PALLAS_NBUF, mask=flat_valid,
+    )
+    return jnp.transpose(out.reshape(t, c // pooling, 128), (1, 0, 2))
 
 
 def _gather_f32(table, ids, pack):
@@ -603,6 +676,10 @@ def _gather_f32(table, ids, pack):
 # tables x batch 8192 x pooling 120) that is ~16GB -> OOM.  Above the
 # budget the lookup scans over bag chunks (static shapes, one compile).
 _POOL_CHUNK_BYTES = 256 << 20
+
+# Storage rows per init slab (at width 128): 2M rows x 128 lanes x 4B = 1GB
+# of f32 transient per slab in EmbeddingCollection.init.
+_INIT_SLAB_ROWS = 2_000_000
 
 
 def _chunk_bags(pooling, row_bytes, t, c):
@@ -656,12 +733,22 @@ def _pool_rows(rows, active, pooling, combiner):
     return jnp.transpose(pooled, (1, 0, 2))
 
 
-def _local_pooled_lookup(pooling, pack, combiner, table, g_idx, mask):
+def _local_pooled_lookup(pooling, pack, combiner, use_pallas, table, g_idx,
+                         mask):
     """[rows, D], [T, Bs*L], [T, Bs*L] -> [Bs, T, D] dense gather+pool.
 
     Accumulates in f32 regardless of storage dtype (bf16 tables halve HBM
     traffic; the pool must not lose precision — the analog of the DPU's
     full-width int32 accumulate, emb_dpu_lookup.c:114)."""
+    t, c = g_idx.shape
+    if use_pallas:
+        tb = _pallas_tile_b(t * (c // pooling), pooling)
+        if tb:
+            # fused in-kernel pooling: no [T, C, D] gather intermediate,
+            # so the _scan_pooled chunking is unnecessary here
+            return _pallas_pool(
+                table, g_idx.reshape(-1), mask.reshape(-1), t, c, pooling, tb
+            )
 
     def pool(gi, mi):
         rows = _gather_f32(table, gi, pack)  # [T, nb*L, D] f32
@@ -671,8 +758,24 @@ def _local_pooled_lookup(pooling, pack, combiner, table, g_idx, mask):
 
 
 def _rowshard_pooled_lookup(rows_per_shard, pooling, pack, strided,
-                            num_shards, combiner, table_shard, g_idx, mask):
+                            num_shards, combiner, use_pallas, table_shard,
+                            g_idx, mask):
     shard = jax.lax.axis_index(MODEL_AXIS)
+    t, c = g_idx.shape
+
+    if use_pallas:
+        tb = _pallas_tile_b(t * (c // pooling), pooling)
+    else:
+        tb = 0
+    if tb:
+        owner, local = _owner_local(g_idx, rows_per_shard, num_shards, strided)
+        owned = (owner == shard) & (local < rows_per_shard) & mask
+        local = jnp.where(owned, local, 0)
+        pooled = _pallas_pool(
+            table_shard, local.reshape(-1), owned.reshape(-1), t, c, pooling,
+            tb,
+        )
+        return jax.lax.psum(pooled, MODEL_AXIS)
 
     def pool(gi, mi):
         owner, local = _owner_local(gi, rows_per_shard, num_shards, strided)

@@ -148,3 +148,38 @@ def test_batch_data_parallel_consistency(rng):
         fused = coll.device_put_tables(tables_np)
         outs.append(np.asarray(coll.lookup(fused, idx, mask, batch_size=16)))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+
+
+def test_init_slab_path_statistics(mesh):
+    """Big-table init runs in row slabs (transients would otherwise be ~3x
+    the f32 table and OOM compile at >=8GB tables — docs/PERF.md).  Force
+    the slab path at test size and check per-table init scale/uniformity."""
+    import pim_embedding_lookup_tpu.parallel.collection as C
+
+    old = C._INIT_SLAB_ROWS
+    C._INIT_SLAB_ROWS = 64
+    try:
+        tables = (
+            TableConfig(num_rows=305, dim=16, name="a"),
+            TableConfig(num_rows=2111, dim=16, name="b"),
+        )
+        for policy, packed in [
+            (ShardingPolicy.ROW_HASH, True),
+            (ShardingPolicy.REPLICATE, False),
+        ]:
+            coll = EmbeddingCollection.create(tables, mesh, policy, packed=packed)
+            fused = coll.init(jax.random.PRNGKey(0))
+            idx = jnp.stack([
+                jnp.arange(300, dtype=jnp.int32) % 305,
+                jnp.arange(300, dtype=jnp.int32) % 2111,
+            ])
+            mask = jnp.ones((2, 300), bool)
+            out = np.asarray(coll.lookup(fused, idx, mask, batch_size=300))
+            for t, n in enumerate([305, 2111]):
+                a = 1 / np.sqrt(n)
+                mx = np.abs(out[:, t]).max()
+                assert 0 < mx <= a + 1e-6, (policy, t, mx, a)
+                sd = out[:, t].std()
+                assert 0.6 * a / 3**0.5 < sd < 1.4 * a / 3**0.5, (policy, t, sd)
+    finally:
+        C._INIT_SLAB_ROWS = old

@@ -46,6 +46,41 @@ def igtimer(lookup_fn, table, idx0, rotate_fn, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def chaintimer(lookup_fn, table, idx0, rotate_fn, chain, reps):
+    """Unrolled-chain timer for ops that cannot live inside lax.fori_loop
+    (pallas_call inside fori_loop fails to compile through the remote Mosaic
+    helper — CLAUDE.md rule 4).  One jitted program contains ``chain``
+    sequential calls with per-call index rotation and sum-consumption (the
+    same dedup defenses as igtimer); host timing brackets ``reps`` dispatches
+    of that program and divides by chain*reps.  Identical kernel instances
+    share one Mosaic compile, so the chain costs one ~5min compile total.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(tbl, idx):
+        acc = jnp.float32(0)
+        for _ in range(chain):
+            out = lookup_fn(tbl, idx)
+            acc = acc + jnp.sum(out)
+            idx = rotate_fn(idx)
+        return acc
+
+    rot = jax.jit(rotate_fn)
+    jax.block_until_ready(chained(table, idx0))  # compile + warm
+    # every dispatch gets a DISTINCT rotated index operand, so the tunnel
+    # cannot dedup repeated executions; dispatches pipeline asynchronously
+    idx_r = rot(idx0)
+    t0 = time.perf_counter()
+    accs = []
+    for _ in range(reps):
+        accs.append(chained(table, idx_r))
+        idx_r = rot(idx_r)
+    jax.block_until_ready(accs)
+    return (time.perf_counter() - t0) / (chain * reps)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=33_762_584)
@@ -56,6 +91,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--nbuf", type=int, default=0, help="pallas nbuf override")
+    ap.add_argument("--chain", type=int, default=8,
+                    help="unrolled calls per dispatch for chain-timed ops")
+    ap.add_argument("--reps", type=int, default=4,
+                    help="dispatches of the chained program")
     args = ap.parse_args()
 
     import jax
@@ -124,6 +163,60 @@ def main():
             except Exception as e:
                 print(f"pallas tb={tile_b} nbuf={nbuf} FAILED: "
                       f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+
+    if want("pallaschain"):
+        # Honest pallas device timing (VERDICT r1 item 2): pallas_call inside
+        # lax.fori_loop fails to compile remotely, so time an unrolled CHAIN
+        # of calls vs the identically-harnessed XLA path.  dim<128 uses the
+        # lane-packed kernel over persistent [S,128] storage; dim%128==0 uses
+        # the row-DMA kernel.
+        from pim_embedding_lookup_tpu.ops.pallas_lookup import (
+            pallas_embedding_bag_fixedl,
+        )
+
+        bsz = args.batch * args.tables  # bags
+        L = args.pooling
+        offsets = jnp.arange(bsz + 1, dtype=jnp.int32) * L
+        if d < 128 and 128 % d == 0:
+            pack = 128 // d
+            S = (n + pack - 1) // pack
+            storage = jax.jit(
+                lambda k: jax.random.uniform(k, (S, 128), jnp.float32, -0.1, 0.1)
+            )(key)
+
+            def xla_ref(t, i):
+                rows = jnp.take(t, i // pack, axis=0)  # [c, 128]
+                g = jax.nn.one_hot(i % pack, pack, dtype=jnp.float32)
+                picked = jnp.einsum(
+                    "cpd,cp->cd", rows.reshape(-1, pack, d), g,
+                    preferred_element_type=jnp.float32,
+                )
+                return picked.reshape(bsz, L, d).sum(axis=1)
+        else:
+            storage = table
+
+            def xla_ref(t, i):
+                return jnp.take(t, i, axis=0).reshape(bsz, L, d).sum(axis=1)
+        jax.block_until_ready(storage)
+
+        report("chain xla ref", chaintimer(
+            xla_ref, storage, flat_idx, rotate, args.chain, args.reps))
+        variants = ([(64, args.nbuf), (256, args.nbuf)] if args.nbuf
+                    else [(8, 8), (8, 16), (64, 32)])
+        for tile_b, nbuf in variants:
+            try:
+                dt = chaintimer(
+                    lambda t, i, tb=tile_b, nb=nbuf:
+                    pallas_embedding_bag_fixedl(
+                        t, d, i, pooling=L, batch_size=bsz, tile_b=tb,
+                        nbuf=nb,
+                    ),
+                    storage, flat_idx, rotate, args.chain, args.reps,
+                )
+                report(f"chain pallas tb={tile_b} nbuf={nbuf}", dt)
+            except Exception as e:
+                print(f"chain pallas tb={tile_b} nbuf={nbuf} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
 
     if want("packed") and 128 % d == 0 and d < 128:
         # Lane-packed gather: store pack=128//d consecutive rows side-by-side
@@ -437,6 +530,45 @@ def main():
             report(f"wide w={width} pack={pk}",
                    igtimer(wide_lookup, tw, flat_idx, rotate, args.iters))
             del tw
+
+    if want("dwide") and d < 128 and 128 % d == 0:
+        # Is the wide-row gather penalty lane-driven or byte-driven?  The f32
+        # 'wide' probe showed cost/issue growing with width (128->256 lanes =
+        # 1.34x); if the growth tracks BYTES, then bf16@256 / int8@512 move
+        # the same bytes per issue as f32@128 while packing 2x/4x more rows —
+        # a direct issue-count cut on the big-table path.
+        for dt_name, dt, dequant in (
+            ("f32", jnp.float32, False),
+            ("bf16", jnp.bfloat16, False),
+            ("int8", jnp.int8, True),
+        ):
+            for width in (128, 256, 512):
+                pk = width // d
+                S = (n + pk - 1) // pk
+                tw = jax.jit(
+                    lambda k, S=S, width=width, dt=dt: (
+                        jax.random.uniform(
+                            k, (S, width), jnp.float32, -0.1, 0.1
+                        ) * 127
+                    ).astype(dt)
+                )(key)
+                jax.block_until_ready(tw)
+
+                def wlookup(t_, i, pk=pk, S=S, dq=dequant):
+                    rows = jnp.take(t_, (i // pk) % S, axis=0)  # [c, width]
+                    if dq:
+                        rows = rows.astype(jnp.float32)
+                    g = jax.nn.one_hot(i % pk, pk, dtype=rows.dtype)
+                    return jnp.einsum(
+                        "cpd,cp->cd", rows.reshape(c, pk, d), g,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                report(
+                    f"dwide {dt_name} w={width} pack={pk} "
+                    f"({jnp.dtype(dt).itemsize*width}B/row)",
+                    igtimer(wlookup, tw, flat_idx, rotate, args.iters))
+                del tw
 
     if want("onehot"):
         # one-hot matmul feasibility for a small table (2048 rows)
