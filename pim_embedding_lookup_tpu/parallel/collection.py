@@ -44,7 +44,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ShardingPolicy, TableConfig
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, check_vma_enabled
 from .planner import FusedLayout, plan
 
 
@@ -427,7 +427,7 @@ def _lookup_csr_dispatch(
             mesh=mesh,
             in_specs=(P(None, MODEL_AXIS), q_spec, q_spec),
             out_specs=P(bdim, None, MODEL_AXIS),
-            check_vma=False,
+            check_vma=check_vma_enabled(),
         )
         return fn(fused_table, g_idx, offsets)
     if policy == ShardingPolicy.REPLICATE:
@@ -438,7 +438,7 @@ def _lookup_csr_dispatch(
             mesh=mesh,
             in_specs=(P(), q_spec, q_spec),
             out_specs=P(bdim, None, None),
-            check_vma=False,  # identical on all shards by construction
+            check_vma=check_vma_enabled(),  # identical on all shards by construction
         )
         return fn(fused_table, g_idx, offsets)
     local = functools.partial(
@@ -450,7 +450,7 @@ def _lookup_csr_dispatch(
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), q_spec, q_spec),
         out_specs=P(bdim, None, None),
-        check_vma=False,
+        check_vma=check_vma_enabled(),
     )
     return fn(fused_table, g_idx, offsets)
 

@@ -9,6 +9,8 @@ physical topology.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.experimental import mesh_utils
@@ -18,6 +20,20 @@ from ..config import MeshConfig
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def check_vma_enabled() -> bool:
+    """Debug re-enable of shard_map's replication checker.
+
+    A few dispatches in collection.py / sparse_update.py declare replicated
+    out_specs whose replication holds "by construction" (the per-shard
+    computation consumes only replicated operands) but is beyond the static
+    checker, so they pass ``check_vma=False``.  Setting ``PEL_CHECK_VMA=1``
+    turns the checker back on at trace time for those sites — run the parity
+    suite under it after any refactor of the local bodies (pinned by
+    tests/test_parallel.py::test_check_vma_debug_mode).
+    """
+    return os.environ.get("PEL_CHECK_VMA", "0") == "1"
 
 
 def make_mesh(config: MeshConfig | None = None, *, data: int | None = None,

@@ -298,7 +298,14 @@ def sparse_update(
             g_spec,
         ),
         out_specs=(emb_spec, acc_spec, P()),
-        check_vma=False,  # model-shard outputs are identical by construction
+        # The data-axis replication of the updated shards holds by
+        # construction (every data shard scatters the identical all-gathered
+        # entry stream) but is beyond shard_map's static checker — verified
+        # by probe: check_vma=True raises "can't be statically inferred"
+        # here under every policy.  The claim is pinned numerically by
+        # tests/test_sparse_train.py (exact parity vs the dense backward),
+        # so this site stays unchecked even under PEL_CHECK_VMA=1.
+        check_vma=False,
     )(fused, acc, g_idx, mask, g_pooled)
     if return_stats:
         return fused, acc, dropped

@@ -118,14 +118,22 @@ def test_pallas_gather_dispatch_parity(rng, policy, combiner):
     """EmbeddingCollection dispatches the pallas row-DMA kernel for
     full-width (dim==128, pack==1) f32 tables (measured 1.26x over the XLA
     gather on hardware — docs/PERF.md).  Forced on + interpret mode here;
-    must match the XLA path bit-for-bit-ish."""
+    must match the XLA path bit-for-bit-ish.
+
+    Single-device mesh ON PURPOSE: the Mosaic interpret emulator under a
+    multi-device CPU shard_map takes tens of minutes for even a 64-entry
+    kernel (measured >570s vs 0.4s for the XLA body — DMA-semaphore
+    emulation under SPMD), while the per-shard local body is the same
+    function either way.  Multi-device dispatch coverage rides the XLA
+    paths (test_parallel/test_packed); kernel-vs-oracle coverage is
+    test_pallas_fixedl."""
     import pim_embedding_lookup_tpu.parallel.collection as C
     from pim_embedding_lookup_tpu.config import (
         MeshConfig, ShardingPolicy, TableConfig,
     )
     from pim_embedding_lookup_tpu.parallel import EmbeddingCollection, make_mesh
 
-    mesh = make_mesh(MeshConfig(data=2, model=4))
+    mesh = make_mesh(MeshConfig(data=1, model=1))
     tables = (
         TableConfig(num_rows=300, dim=128, name="a"),
         TableConfig(num_rows=900, dim=128, name="b"),
