@@ -48,8 +48,17 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
     from pim_embedding_lookup_tpu.config import MeshConfig, ShardingPolicy
     from pim_embedding_lookup_tpu.parallel import EmbeddingCollection, make_mesh
+    from pim_embedding_lookup_tpu.parallel import collection as _coll_mod
 
     from pim_embedding_lookup_tpu.parallel.hybrid import HybridEmbeddingCollection
+
+    # pallas_call inside lax.fori_loop fails the remote Mosaic compile
+    # (docs/PERF.md rule 4), and this timed loop IS a fori_loop — pin the
+    # XLA gather for full-width f32 configs unless explicitly overridden.
+    # The pallas full-width path is timed honestly by the chain harness
+    # (tools/kernel_lab.py --only pallaschain).
+    if "PEL_PALLAS_GATHER" not in __import__("os").environ:
+        _coll_mod.PALLAS_GATHER = "off"
 
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (

@@ -603,14 +603,20 @@ def _lookup_dispatch(
     return fn(fused_table, g_idx, mask)
 
 
-# Gather-engine selection for full-width rows.  Measured (docs/PERF.md
-# "Pallas kernel status"): the fused pallas row-DMA kernel beats XLA's
-# gather by ~1.26x when rows are full 128-lane f32 (bigtable shape:
-# 11.1ms vs 14.0ms per 524k-entry call) and loses ~1.6x on lane-packed
-# small dims — so it dispatches ONLY for pack==1, width==128, f32, non-max.
-# "auto" enables it on the TPU backend; tests force "on" under Mosaic
-# interpret mode; "off" pins the XLA gather.
-PALLAS_GATHER = "auto"
+# Gather-engine selection for full-width rows.  DEFAULT OFF — the XLA
+# gather is the production kernel at every measured shape (docs/PERF.md
+# "Pallas kernel status"): the r2 snapshot's claim that the pallas row-DMA
+# kernel wins 1.26x on full-width f32 rows did NOT reproduce under the
+# chain harness at r3 (bigtable 524k-entry call: XLA 6.5-6.7ms vs pallas
+# 8.9-9.5ms at both 2M- and 16M-row spans; the r2 reading was a tunnel
+# dedup artifact — the same harness also emitted an impossible 16µs/16TB/s
+# point).  "on" forces the kernel (parity tests, experiments); "auto"
+# enables it on the TPU backend for A/B runs.  Override without code via
+# PEL_PALLAS_GATHER=off|on|auto.
+# KNOWN LIMIT: pallas_call inside lax.fori_loop fails the remote Mosaic
+# compile in this environment (docs/PERF.md rule 4) — in-graph timed loops
+# must keep this off for full-width f32 tables.
+PALLAS_GATHER = __import__("os").environ.get("PEL_PALLAS_GATHER", "off")
 
 _PALLAS_NBUF = 32  # outstanding row DMAs (measured best at 32-64)
 

@@ -115,10 +115,11 @@ def test_pallas_fixedl(rng, d, b, l, tile_b, nbuf):
 @pytest.mark.parametrize("policy", ["replicate", "row_hash"])
 @pytest.mark.parametrize("combiner", ["sum", "mean"])
 def test_pallas_gather_dispatch_parity(rng, policy, combiner):
-    """EmbeddingCollection dispatches the pallas row-DMA kernel for
-    full-width (dim==128, pack==1) f32 tables (measured 1.26x over the XLA
-    gather on hardware — docs/PERF.md).  Forced on + interpret mode here;
-    must match the XLA path bit-for-bit-ish.
+    """EmbeddingCollection can dispatch the pallas row-DMA kernel for
+    full-width (dim==128, pack==1) f32 tables (PALLAS_GATHER="on"/"auto";
+    default off — measured ~1.35x BEHIND the XLA gather, docs/PERF.md).
+    Forced on + interpret mode here; must match the XLA path
+    bit-for-bit-ish.
 
     Single-device mesh ON PURPOSE: the Mosaic interpret emulator under a
     multi-device CPU shard_map takes tens of minutes for even a 64-entry
