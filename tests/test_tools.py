@@ -33,6 +33,19 @@ def test_serving_bench_smoke():
     assert rep["p99_ms"] >= rep["p50_ms"] > 0
 
 
+def test_serving_bench_pipelined_smoke():
+    r = run_tool(
+        "tools/serving_bench.py",
+        "--config", "toy", "--batch", "16", "--qps", "200", "--duration", "2",
+        "--inflight", "8",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["inflight"] == 8
+    assert rep["requests"] > 0
+    assert rep["p99_ms"] >= rep["p50_ms"] > 0
+
+
 def test_scaling_bench_smoke():
     r = run_tool(
         "tools/scaling_bench.py",

@@ -47,6 +47,10 @@ def main():
                     help="MXU small-table + lane-packed gather collection")
     ap.add_argument("--pool", type=int, default=32,
                     help="distinct pre-generated requests (unique streams)")
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="max outstanding async dispatches (1 = strict "
+                         "serial client; >1 pipelines over the device and "
+                         "the dispatch RTT)")
     ap.add_argument("--zipf", type=float, default=0.0,
                     help="zipf exponent for skewed ids (0 = uniform)")
     ap.add_argument("--routed", action="store_true",
@@ -159,15 +163,38 @@ def main():
                                             return_stats=True))
         drops = int(jax.device_get(lk(params["emb"], pool[0][1])[1]))
 
+    # --inflight N pipelines up to N outstanding dispatches: JAX dispatch is
+    # async, so the device (and this environment's tunnel RTT) overlaps
+    # across requests instead of serializing client->device->client per
+    # request — the continuous-batching serving posture.  Latency is
+    # arrival-to-completion (queueing included, standard open-loop metric).
+    # N=1 degenerates to the strict serial client.
+    from collections import deque
+
     lat = []
     n_req = 0
     late_drops = 0
+    inflight = deque()  # (t_arrival, out)
+
+    def drain(block):
+        while inflight:
+            t0, out = inflight[0]
+            if not block and hasattr(out, "is_ready") and not out.is_ready():
+                return
+            jax.block_until_ready(out)
+            lat.append(time.perf_counter() - t0)
+            inflight.popleft()
+            if not block:
+                continue
+            return  # blocking mode frees exactly one slot
+
     start = time.perf_counter()
     next_arrival = start
     while True:
         now = time.perf_counter()
         if now - start >= args.duration:
             break
+        drain(block=False)
         if now < next_arrival:
             time.sleep(min(next_arrival - now, 0.001))
             continue
@@ -176,12 +203,16 @@ def main():
         if now - next_arrival > 1.0:  # hopelessly behind: count drops
             late_drops += 1
             continue
+        if len(inflight) >= args.inflight:
+            drain(block=True)
         dense, idx, _ = pool[n_req % len(pool)]
         t0 = time.perf_counter()
         out = serve(params, dense, idx, jnp.int32(n_req))
-        jax.block_until_ready(out)
-        lat.append(time.perf_counter() - t0)
+        inflight.append((t0, out))
         n_req += 1
+    drain(block=True)
+    while inflight:
+        drain(block=True)
 
     wall = time.perf_counter() - start
     lat_ms = np.asarray(lat) * 1e3
@@ -190,6 +221,7 @@ def main():
         "dropped": late_drops,
         "achieved_qps": round(n_req / wall, 1),
         "offered_qps": args.qps,
+        "inflight": args.inflight,
         "batch": b,
         "zipf": args.zipf,
         "routed": routed,
