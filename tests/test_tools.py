@@ -46,6 +46,17 @@ def test_serving_bench_pipelined_smoke():
     assert rep["p99_ms"] >= rep["p50_ms"] > 0
 
 
+def test_trace_capture_smoke(tmp_path):
+    r = run_tool(
+        "tools/trace_capture.py",
+        "--config", "toy", "--batch", "16", "--iters", "2",
+        "--out", str(tmp_path / "trace"),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import os
+    assert os.path.exists(tmp_path / "trace" / "intervals.csv")
+
+
 def test_scaling_bench_smoke():
     r = run_tool(
         "tools/scaling_bench.py",
