@@ -57,6 +57,21 @@ def test_trace_capture_smoke(tmp_path):
     assert os.path.exists(tmp_path / "trace" / "intervals.csv")
 
 
+def test_serving_bench_microbatch_smoke():
+    r = run_tool(
+        "tools/serving_bench.py",
+        "--config", "toy", "--batch", "8", "--qps", "500", "--duration", "2",
+        "--microbatch", "4", "--inflight", "2", "--max-wait-ms", "5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["microbatch"] == 4
+    assert rep["requests"] > 0
+    # aggregation must actually aggregate: fewer dispatches than requests
+    assert rep["dispatches"] < rep["requests"]
+    assert rep["p99_ms"] >= rep["p50_ms"] > 0
+
+
 def test_scaling_bench_smoke():
     r = run_tool(
         "tools/scaling_bench.py",

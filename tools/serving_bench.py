@@ -20,7 +20,15 @@ through the all-to-all routing path with an optional replicated hot-row
 cache (parallel/hotcache.py), so the cache's routed-load effect is
 measurable here (VERDICT r1 item 10).
 
+Batch aggregation (``--microbatch M`` + ``--max-wait-ms``) implements the
+core PIM-DeepRecSys serving policy: up to M queued requests are stacked
+into ONE device dispatch (per-dispatch cost amortizes M-ways; saturation
+qps scales ~M), with an SLA deadline that flushes partial batches.
+``--inflight N`` additionally pipelines N outstanding dispatches.
+Latency is arrival-to-completion (queueing included).
+
     python tools/serving_bench.py --qps 200 --duration 10
+    python tools/serving_bench.py --hybrid --microbatch 8 --qps 400
     python tools/serving_bench.py --hybrid --zipf 1.1 --routed --hot-k 1024
 """
 
@@ -51,6 +59,15 @@ def main():
                     help="max outstanding async dispatches (1 = strict "
                          "serial client; >1 pipelines over the device and "
                          "the dispatch RTT)")
+    ap.add_argument("--microbatch", type=int, default=1,
+                    help="aggregate up to M queued requests into ONE "
+                         "dispatch (the DeepRecSys batch-aggregation "
+                         "policy): per-dispatch cost is amortized M-ways, "
+                         "so saturation qps scales ~M")
+    ap.add_argument("--max-wait-ms", type=float, default=10.0,
+                    help="microbatch aggregation deadline: dispatch a "
+                         "partial batch once the oldest queued request "
+                         "has waited this long (the SLA knob)")
     ap.add_argument("--zipf", type=float, default=0.0,
                     help="zipf exponent for skewed ids (0 = uniform)")
     ap.add_argument("--routed", action="store_true",
@@ -90,6 +107,9 @@ def main():
     rng = np.random.default_rng(args.seed)
     t = len(cfg.tables)
     b, l = args.batch, args.pooling
+    mb = max(1, args.microbatch)
+    # one dispatch serves up to mb logical requests stacked along batch
+    b_disp = b * mb
 
     def draw_ids(tb, n):
         if args.zipf > 1.0:
@@ -97,14 +117,16 @@ def main():
         return rng.integers(0, tb.num_rows, size=n)
 
     def make_request():
-        dense = jnp.asarray(rng.random((b, cfg.dense_dim), dtype=np.float32))
+        dense = jnp.asarray(
+            rng.random((b_disp, cfg.dense_dim), dtype=np.float32)
+        )
         idx_np = np.stack(
-            [draw_ids(tb, b * l) for tb in cfg.tables]
+            [draw_ids(tb, b_disp * l) for tb in cfg.tables]
         ).astype(np.int32)
         return dense, jnp.asarray(idx_np), idx_np
 
     pool = [make_request() for _ in range(args.pool)]
-    mask = jnp.ones((t, b * l), bool)
+    mask = jnp.ones((t, b_disp * l), bool)
 
     hot_cache = None
     hot_hit_rate = None
@@ -136,16 +158,16 @@ def main():
         emb = params["emb"]
         if routed and hybrid:
             pooled = coll.lookup(
-                emb, idx, mask, batch_size=b, routed=True,
+                emb, idx, mask, batch_size=b_disp, routed=True,
                 capacity_factor=cf, hot_cache=hot_cache,
             )
         elif routed:
             pooled = coll.lookup_routed(
-                emb, idx, mask, batch_size=b,
+                emb, idx, mask, batch_size=b_disp,
                 capacity_factor=cf, hot_cache=hot_cache,
             )
         else:
-            pooled = coll.lookup(emb, idx, mask, batch_size=b)
+            pooled = coll.lookup(emb, idx, mask, batch_size=b_disp)
         logits = model.apply_from_pooled(params, dense, pooled)
         return jax.nn.sigmoid(logits)
 
@@ -154,10 +176,11 @@ def main():
 
     drops = None
     if routed:  # record the routed drop count for this traffic at this cf
-        lk = (lambda e, i: coll.lookup(e, i, mask, batch_size=b, routed=True,
-                                       capacity_factor=cf, hot_cache=hot_cache,
+        lk = (lambda e, i: coll.lookup(e, i, mask, batch_size=b_disp,
+                                       routed=True, capacity_factor=cf,
+                                       hot_cache=hot_cache,
                                        return_stats=True)) if hybrid else (
-            lambda e, i: coll.lookup_routed(e, i, mask, batch_size=b,
+            lambda e, i: coll.lookup_routed(e, i, mask, batch_size=b_disp,
                                             capacity_factor=cf,
                                             hot_cache=hot_cache,
                                             return_stats=True))
@@ -173,16 +196,22 @@ def main():
 
     lat = []
     n_req = 0
+    n_disp = 0
     late_drops = 0
-    inflight = deque()  # (t_arrival, out)
+    inflight = deque()  # (arrival-times of the requests in the batch, out)
+    pending = deque()  # arrival timestamps awaiting aggregation
+    max_wait = args.max_wait_ms / 1e3
 
     def drain(block):
+        nonlocal n_req
         while inflight:
-            t0, out = inflight[0]
+            arrivals, out = inflight[0]
             if not block and hasattr(out, "is_ready") and not out.is_ready():
                 return
             jax.block_until_ready(out)
-            lat.append(time.perf_counter() - t0)
+            done = time.perf_counter()
+            lat.extend(done - a for a in arrivals)
+            n_req += len(arrivals)
             inflight.popleft()
             if not block:
                 continue
@@ -195,22 +224,27 @@ def main():
         if now - start >= args.duration:
             break
         drain(block=False)
-        if now < next_arrival:
-            time.sleep(min(next_arrival - now, 0.001))
-            continue
-        # Poisson arrivals
-        next_arrival += rng.exponential(1.0 / args.qps)
-        if now - next_arrival > 1.0:  # hopelessly behind: count drops
-            late_drops += 1
+        # ingest Poisson arrivals into the aggregation queue
+        while now >= next_arrival:
+            if now - next_arrival > 1.0:  # hopelessly behind: count drops
+                late_drops += 1
+            else:
+                pending.append(next_arrival)
+            next_arrival += rng.exponential(1.0 / args.qps)
+        # dispatch a microbatch when full, or when the oldest queued
+        # request hits the aggregation deadline (partial batch)
+        full = len(pending) >= mb
+        expired = pending and (now - pending[0]) >= max_wait
+        if not (full or expired):
+            time.sleep(min(max(next_arrival - now, 0.0), 0.001))
             continue
         if len(inflight) >= args.inflight:
             drain(block=True)
-        dense, idx, _ = pool[n_req % len(pool)]
-        t0 = time.perf_counter()
-        out = serve(params, dense, idx, jnp.int32(n_req))
-        inflight.append((t0, out))
-        n_req += 1
-    drain(block=True)
+        arrivals = [pending.popleft() for _ in range(min(mb, len(pending)))]
+        dense, idx, _ = pool[n_disp % len(pool)]
+        out = serve(params, dense, idx, jnp.int32(n_disp))
+        inflight.append((arrivals, out))
+        n_disp += 1
     while inflight:
         drain(block=True)
 
@@ -222,6 +256,8 @@ def main():
         "achieved_qps": round(n_req / wall, 1),
         "offered_qps": args.qps,
         "inflight": args.inflight,
+        "microbatch": mb,
+        "dispatches": n_disp,
         "batch": b,
         "zipf": args.zipf,
         "routed": routed,
