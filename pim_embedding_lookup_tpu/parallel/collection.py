@@ -331,8 +331,9 @@ class EmbeddingCollection:
         capacity_factor: float | None = None,
         hot_cache: tuple[jax.Array, jax.Array] | None = None,
         return_stats: bool = False,
+        combiner: str = "sum",  # "sum" | "mean" (max: broadcast path only)
     ) -> jax.Array | tuple[jax.Array, jax.Array]:
-        """Pooled SUM lookup with all-to-all ID ROUTING (ROW/TABLE_WISE).
+        """Pooled SUM/MEAN lookup with all-to-all ID ROUTING (ROW/TABLE_WISE).
 
         The default ``lookup`` broadcasts every query to every model shard
         and masks by ownership — simple, but each shard still issues the
@@ -368,6 +369,11 @@ class EmbeddingCollection:
             raise ValueError(
                 "lookup_routed requires ROW/ROW_HASH/TABLE_WISE sharding"
             )
+        if combiner not in ("sum", "mean"):
+            # MAX cannot ride the additive psum partial merge (bag entries
+            # for one bag pool on different source devices); use the
+            # broadcast ``lookup(..., combiner="max")`` path instead.
+            raise ValueError("lookup_routed supports sum/mean combiners")
         t, c = indices.shape
         b = batch_size if batch_size is not None else c
         if c % b:
@@ -401,6 +407,8 @@ class EmbeddingCollection:
                 hot_ids,
                 hot_rows,
             )
+        if combiner == "mean":
+            pooled = _finish_combiner("mean", c // b, pooled, mask)
         if return_stats:
             return pooled, jnp.sum(dropped)
         return pooled

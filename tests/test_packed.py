@@ -354,6 +354,29 @@ def test_routed_lookup_parity(mesh, rng, policy, packed):
     )
 
 
+def test_routed_lookup_mean_combiner(mesh, rng):
+    """lookup_routed(combiner="mean") == broadcast mean; max is rejected
+    (additive psum merge cannot express it — use the broadcast path)."""
+    coll = EmbeddingCollection.create(
+        TABLES16, mesh, ShardingPolicy.ROW_HASH, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES16
+    ]
+    fused = coll.device_put_tables(tables_np)
+    idx, mask, _, _ = make_query(rng, TABLES16, b=8, l=5)
+    routed = coll.lookup_routed(
+        fused, idx, mask, batch_size=8, combiner="mean"
+    )
+    broadcast = coll.lookup(fused, idx, mask, batch_size=8, combiner="mean")
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(broadcast), rtol=1e-5, atol=1e-6
+    )
+    with pytest.raises(ValueError):
+        coll.lookup_routed(fused, idx, mask, batch_size=8, combiner="max")
+
+
 def test_routed_lookup_rejects_unsupported_policy(mesh, rng):
     coll = EmbeddingCollection.create(
         TABLES16, mesh, ShardingPolicy.REPLICATE
