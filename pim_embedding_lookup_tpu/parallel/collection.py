@@ -257,7 +257,10 @@ class EmbeddingCollection:
         *,
         combiner: str = "sum",  # "sum" | "mean" | "max"
         data_sharded: bool = False,
-    ) -> jax.Array:
+        routed: bool = False,
+        capacity_factor: float | None = None,
+        return_stats: bool = False,
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:
         """Pooled lookup over ragged (CSR) bags — the reference's exact
         API shape (emb_host.h:234 ``lookup(uint32_t **indices, uint32_t
         **offsets, ...)``) generalized over the mesh, with the full
@@ -277,6 +280,18 @@ class EmbeddingCollection:
         shard d holds its own Cd-entry buffer and its own (Bd+1) offsets
         RELATIVE to that buffer (build with ops.ragged.shard_csr).  Output
         [Nd*Bd, T, D] is batch-sharded like the dense form.
+
+        ``routed=True`` (ROW/ROW_HASH/TABLE_WISE, SUM/MEAN): the ragged
+        entries ride the all-to-all ID-ROUTING path (see ``lookup_routed``)
+        instead of the ownership-masked broadcast — per-device gather
+        issues drop from E to ~cf*E/M, so the reference's native wire shape
+        (emb_host.h:234) gets multi-chip ISSUE-RATE scaling, not just
+        capacity.  Drop semantics are identical to ``lookup_routed``:
+        impossible at the default ``capacity_factor=None`` (resolves to
+        ``safe_capacity_factor``), counted in-graph below it — pass
+        ``return_stats=True`` for ``(pooled, dropped)``.  MEAN at an
+        explicit low cf divides by the FULL bag length (dropped entries
+        contribute zero to the sum but still count in the denominator).
         """
         t, c = indices.shape
         nd = self.mesh.shape[DATA_AXIS] if data_sharded else 1
@@ -285,8 +300,35 @@ class EmbeddingCollection:
                 f"data_sharded CSR needs data axis {nd} to divide capacity "
                 f"{c} and offsets width {offsets.shape[1]}"
             )
+        if return_stats and not routed:
+            raise ValueError("return_stats requires routed=True (the "
+                             "broadcast CSR path cannot drop entries)")
         b_local = offsets.shape[1] // nd - 1
         g_idx = self.globalize(indices)
+        if routed:
+            if not _rowish(self.layout.policy):
+                raise ValueError(
+                    "routed lookup_csr requires ROW/ROW_HASH/TABLE_WISE"
+                )
+            if combiner not in ("sum", "mean"):
+                raise ValueError("routed lookup_csr supports sum/mean")
+            pooled, dropped = _lookup_csr_routed_dispatch(
+                self.mesh,
+                self.layout.rows_per_shard,
+                b_local,
+                self.layout.pack,
+                self._resolve_cf(capacity_factor),
+                self.layout.policy == ShardingPolicy.ROW_HASH,
+                data_sharded,
+                fused_table,
+                g_idx,
+                offsets.astype(jnp.int32),
+            )
+            if combiner == "mean":
+                pooled = _csr_mean_divide(pooled, offsets, nd)
+            if return_stats:
+                return pooled, jnp.sum(dropped)
+            return pooled
         return _lookup_csr_dispatch(
             self.mesh,
             self.layout.policy,
@@ -358,6 +400,11 @@ class EmbeddingCollection:
         contribute zero to the pooled sum) — always counted in-graph;
         pass ``return_stats=True`` to get ``(pooled, dropped)`` where
         ``dropped`` is the global count of dropped entries this call.
+        MEAN at an explicit low cf divides by the FULL masked bag size
+        (counts come from the replicated mask, which cannot see routing
+        overflow), so a bag with dropped entries biases low — it is
+        neither 'mean of kept entries' nor broadcast parity.  At the
+        default cf there are no drops and MEAN is exact.
 
         ``hot_cache``: optional (hot_ids [K] sorted, hot_rows [K, D])
         replicated snapshot (parallel/hotcache.py).  Hot entries are
@@ -861,32 +908,26 @@ def _lookup_routed_hot_dispatch(
     return fn(fused_table, g_idx, mask, hot_ids, hot_rows)
 
 
-def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
-                          table_shard, g_idx, mask,
-                          hot_ids=None, hot_rows=None):
-    """Per-device body of lookup_routed.  See the method docstring.
+def _slice_entries(mi, m, em, pad, *arrays):
+    """Pad flat per-entry arrays to em*m and take device mi's em-slice."""
+    out = []
+    for a in arrays:
+        if pad:
+            z = jnp.zeros((pad, *a.shape[1:]), a.dtype)
+            a = jnp.concatenate([a, z])
+        out.append(jax.lax.dynamic_slice_in_dim(a, mi * em, em))
+    return out
 
-    Shapes (per device): table_shard [rps/pack, width]; g_idx/mask [T, Cd]
-    (replicated over model within a data row).  Device mi processes the
-    mi-th slice of the T*Cd entries; pooled partials psum over model.
-    Returns (pooled [Bd, T, D], dropped [1] int32 — this data-row's global
-    overflow-drop count, psum'd over model; zero by construction at the
-    default safe capacity factor).
-    """
-    t, cd = g_idx.shape
-    mi = jax.lax.axis_index(MODEL_AXIS)
-    e_total = t * cd
-    em = -(-e_total // m)  # entries per device (ceil)
-    pad = em * m - e_total
 
-    g = g_idx.reshape(-1)
-    v = mask.reshape(-1)
-    if pad:
-        g = jnp.concatenate([g, jnp.zeros((pad,), g.dtype)])
-        v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
-    gs = jax.lax.dynamic_slice_in_dim(g, mi * em, em)
-    vs = jax.lax.dynamic_slice_in_dim(v, mi * em, em)
-
+def _route_rows(table_shard, gs, vs, *, rows_per_shard, pack, cf, m, strided,
+                hot_ids=None, hot_rows=None):
+    """Routing core shared by the fixed-L and CSR routed lookups: take this
+    device's slice of (fused id, valid) entries, route ids to owner shards
+    through capacity-bucketed all_to_alls, gather locally on the owner, and
+    ride the rows back.  Returns (rows_e [Em, D] f32 — zeros for invalid or
+    overflow-dropped entries, dropped [1] int32 — global drop count, psum'd
+    over model; zero by construction at the safe capacity factor)."""
+    em = gs.shape[0]
     hot_e = None
     if hot_ids is not None:
         from .hotcache import hot_cache_select
@@ -931,10 +972,37 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
     )  # [Em, D]; dropped/invalid entries -> 0
     if hot_e is not None:
         rows_e = rows_e + hot_e.astype(rows_e.dtype)
+    return rows_e, dropped
+
+
+def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
+                          table_shard, g_idx, mask,
+                          hot_ids=None, hot_rows=None):
+    """Per-device body of lookup_routed.  See the method docstring.
+
+    Shapes (per device): table_shard [rps/pack, width]; g_idx/mask [T, Cd]
+    (replicated over model within a data row).  Device mi processes the
+    mi-th slice of the T*Cd entries; pooled partials psum over model.
+    Returns (pooled [Bd, T, D], dropped [1] int32 — this data-row's global
+    overflow-drop count, psum'd over model; zero by construction at the
+    default safe capacity factor).
+    """
+    t, cd = g_idx.shape
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    e_total = t * cd
+    em = -(-e_total // m)  # entries per device (ceil)
+    pad = em * m - e_total
+
+    gs, vs = _slice_entries(mi, m, em, pad, g_idx.reshape(-1), mask.reshape(-1))
+    rows_e, dropped = _route_rows(
+        table_shard, gs, vs, rows_per_shard=rows_per_shard, pack=pack,
+        cf=cf, m=m, strided=strided, hot_ids=hot_ids, hot_rows=hot_rows,
+    )
 
     # pooled partial: entry (global index e) belongs to (table e//Cd,
     # bag (e%Cd)//L); bags sum partials across devices via psum
     bd = cd // pooling
+    d = rows_e.shape[-1]
     e_ids = mi * em + jnp.arange(em, dtype=jnp.int32)
     tt = jnp.minimum(e_ids // cd, t - 1)
     bag = (e_ids % cd) // pooling
@@ -943,3 +1011,80 @@ def _routed_pooled_lookup(rows_per_shard, pooling, pack, cf, m, strided,
     pooled = pooled.reshape(t, bd, d)
     pooled = jnp.transpose(pooled, (1, 0, 2))
     return jax.lax.psum(pooled, MODEL_AXIS), dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_per_shard", "batch", "pack", "cf", "strided",
+        "data_sharded",
+    ),
+)
+def _lookup_csr_routed_dispatch(
+    mesh, rows_per_shard, batch, pack, cf, strided, data_sharded,
+    fused_table, g_idx, offsets
+):
+    m = mesh.shape[MODEL_AXIS]
+    q_spec = P(None, DATA_AXIS) if data_sharded else P()
+    bdim = DATA_AXIS if data_sharded else None
+    local = functools.partial(
+        _routed_csr_pooled_lookup, rows_per_shard, batch, pack, cf, m, strided
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), q_spec, q_spec),
+        out_specs=(P(bdim, None, None), P(bdim)),
+        check_vma=check_vma_enabled(),
+    )
+    return fn(fused_table, g_idx, offsets)
+
+
+def _routed_csr_pooled_lookup(rows_per_shard, batch, pack, cf, m, strided,
+                              table_shard, g_idx, offsets):
+    """Per-device body of lookup_csr(routed=True): the ragged analog of
+    _routed_pooled_lookup.  Bag membership comes from the offsets
+    (vectorized searchsorted — the reference DPU kernel's per-entry bag
+    walk, emb_dpu_lookup.c:106-116) instead of a static pooling factor;
+    each entry carries its fused (table, bag) segment id through the
+    entry-slice so pooled partials psum-merge exactly like the dense form.
+
+    Shapes (per device): g_idx [T, Cd], offsets [T, Bd+1] with offsets
+    LOCAL to this device's entry window (data_sharded) or global (nd=1).
+    Returns (pooled-SUM [Bd, T, D], dropped [1])."""
+    from ..ops.ragged import segment_ids_from_offsets
+
+    t, cd = g_idx.shape
+    mi = jax.lax.axis_index(MODEL_AXIS)
+    seg = jax.vmap(
+        lambda o: segment_ids_from_offsets(o, cd)
+    )(offsets).astype(jnp.int32)  # [T, Cd] bag ids; padding -> batch
+    valid = seg < batch
+    tid = jax.lax.broadcasted_iota(jnp.int32, (t, cd), 0)
+    fseg = tid * batch + jnp.minimum(seg, batch - 1)  # [T, Cd] in [0, T*B)
+
+    e_total = t * cd
+    em = -(-e_total // m)
+    pad = em * m - e_total
+    gs, vs, ss = _slice_entries(
+        mi, m, em, pad,
+        g_idx.reshape(-1), valid.reshape(-1), fseg.reshape(-1),
+    )
+    rows_e, dropped = _route_rows(
+        table_shard, gs, vs, rows_per_shard=rows_per_shard, pack=pack,
+        cf=cf, m=m, strided=strided,
+    )
+    pooled = jax.ops.segment_sum(rows_e, ss, num_segments=t * batch)
+    pooled = jnp.transpose(pooled.reshape(t, batch, -1), (1, 0, 2))
+    return jax.lax.psum(pooled, MODEL_AXIS), dropped
+
+
+def _csr_mean_divide(pooled, offsets, nd):
+    """MEAN finalization for the routed CSR path: bag sizes from the
+    offsets ([T, Nd*(Bd+1)] — per-window diffs), divided outside the
+    shard_map on the [Nd*Bd, T, D] pooled sums.  Empty bags stay 0."""
+    t = offsets.shape[0]
+    win = offsets.reshape(t, nd, -1)  # [T, Nd, Bd+1]
+    counts = (win[:, :, 1:] - win[:, :, :-1]).astype(pooled.dtype)
+    counts = jnp.transpose(counts, (1, 2, 0)).reshape(-1, t)[..., None]
+    return pooled / jnp.maximum(counts, 1)
