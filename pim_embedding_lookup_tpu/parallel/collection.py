@@ -233,7 +233,7 @@ class EmbeddingCollection:
             self.layout.policy == ShardingPolicy.ROW_HASH,
             combiner,
             _use_pallas_gather(
-                fused_table.dtype, self.layout.pack,
+                fused_table, self.layout.pack,
                 self.layout.storage_width, combiner,
             ),
             fused_table,
@@ -480,7 +480,8 @@ def _lookup_csr_dispatch(
                 _csr_pooled_lookup, batch, None, pack, False, 1, combiner
             ),
             mesh=mesh,
-            in_specs=(P(None, MODEL_AXIS), q_spec, q_spec),
+            in_specs=(_tspec(fused_table, P(None, MODEL_AXIS), P()),
+                      q_spec, q_spec),
             out_specs=P(bdim, None, MODEL_AXIS),
             check_vma=check_vma_enabled(),
         )
@@ -491,7 +492,7 @@ def _lookup_csr_dispatch(
                 _csr_pooled_lookup, batch, None, pack, False, 1, combiner
             ),
             mesh=mesh,
-            in_specs=(P(), q_spec, q_spec),
+            in_specs=(_tspec(fused_table, P(), P()), q_spec, q_spec),
             out_specs=P(bdim, None, None),
             check_vma=check_vma_enabled(),  # identical on all shards by construction
         )
@@ -503,7 +504,8 @@ def _lookup_csr_dispatch(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), q_spec, q_spec),
+        in_specs=(_tspec(fused_table, P(MODEL_AXIS, None), P(MODEL_AXIS)),
+                  q_spec, q_spec),
         out_specs=P(bdim, None, None),
         check_vma=check_vma_enabled(),
     )
@@ -616,7 +618,8 @@ def _lookup_dispatch(
                 _local_pooled_lookup, pooling, pack, combiner, use_pallas
             ),
             mesh=mesh,
-            in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            in_specs=(_tspec(fused_table, P(), P()),
+                      P(None, DATA_AXIS), P(None, DATA_AXIS)),
             out_specs=P(DATA_AXIS, None, None),
         )
         return fn(fused_table, g_idx, mask)
@@ -628,7 +631,7 @@ def _lookup_dispatch(
             ),
             mesh=mesh,
             in_specs=(
-                P(None, MODEL_AXIS),
+                _tspec(fused_table, P(None, MODEL_AXIS), P()),
                 P(None, DATA_AXIS),
                 P(None, DATA_AXIS),
             ),
@@ -649,7 +652,7 @@ def _lookup_dispatch(
         local,
         mesh=mesh,
         in_specs=(
-            P(MODEL_AXIS, None),
+            _tspec(fused_table, P(MODEL_AXIS, None), P(MODEL_AXIS)),
             P(None, DATA_AXIS),
             P(None, DATA_AXIS),
         ),
@@ -676,12 +679,14 @@ PALLAS_GATHER = __import__("os").environ.get("PEL_PALLAS_GATHER", "off")
 _PALLAS_NBUF = 32  # outstanding row DMAs (measured best at 32-64)
 
 
-def _use_pallas_gather(table_dtype, pack, width, combiner):
+def _use_pallas_gather(table, pack, width, combiner):
     if PALLAS_GATHER == "off":
+        return False
+    if isinstance(table, dict):  # int8 dict storage: XLA gather only
         return False
     if combiner == "max" or pack != 1 or width != 128:
         return False
-    if jnp.dtype(table_dtype) != jnp.float32:
+    if jnp.dtype(table.dtype) != jnp.float32:
         return False
     if PALLAS_GATHER == "on":
         return True
@@ -717,7 +722,30 @@ def _gather_f32(table, ids, pack):
 
     Packed: fetch the 128-lane storage row ids//pack (one gather issue buys
     pack rows' worth of lanes), then select lane group ids%pack with a
-    one-hot contraction — f32 accumulation via preferred_element_type."""
+    one-hot contraction — f32 accumulation via preferred_element_type.
+
+    ``table`` may be int8 dict storage {"q": int8 [srows, width],
+    "scale": f32 [rows]} (QuantizedEmbeddingCollection): gather the int8
+    row AND its per-fused-row scale, dequantize to f32 — every lookup
+    variant (dense/CSR/routed, all policies) then works unchanged on int8
+    storage.  int8 in [-127, 127] is exact in bf16 (8 mantissa bits), so
+    the packed one-hot select rides the VPU in bf16 with f32 accumulation."""
+    if isinstance(table, dict):
+        q, scale = table["q"], table["scale"]
+        s = jnp.take(scale, ids)  # [...] f32, per-FUSED-row
+        if pack == 1:
+            rows = jnp.take(q, ids, axis=0).astype(jnp.float32)
+        else:
+            d = q.shape[-1] // pack
+            wide = jnp.take(q, ids // pack, axis=0).astype(jnp.bfloat16)
+            g = jax.nn.one_hot(ids % pack, pack, dtype=jnp.bfloat16)
+            rows = jnp.einsum(
+                "...pd,...p->...d",
+                wide.reshape(*ids.shape, pack, d),
+                g,
+                preferred_element_type=jnp.float32,
+            )
+        return rows * s[..., None]
     if pack == 1:
         return jnp.take(table, ids, axis=0).astype(jnp.float32)
     d = table.shape[-1] // pack
@@ -776,7 +804,18 @@ def _scan_pooled(pool_fn, pooling, row_bytes, g_idx, mask):
 
 def _row_bytes(table, pack):
     del pack  # storage width already includes the pack factor
+    if isinstance(table, dict):  # int8 row + 4B scale per gathered entry
+        return table["q"].shape[-1] + 4
     return table.shape[-1] * table.dtype.itemsize
+
+
+def _tspec(table, row_spec, scale_spec):
+    """shard_map in_spec for the table argument: a bare PartitionSpec for
+    array storage, a matching pytree for int8 dict storage ({"q": rows x
+    width like the f32 table, "scale": 1-D per-fused-row})."""
+    if isinstance(table, dict):
+        return {"q": row_spec, "scale": scale_spec}
+    return row_spec
 
 
 _NEG_INF = -3.0e38  # max-combiner identity
@@ -870,7 +909,7 @@ def _lookup_routed_dispatch(
         local,
         mesh=mesh,
         in_specs=(
-            P(MODEL_AXIS, None),
+            _tspec(fused_table, P(MODEL_AXIS, None), P(MODEL_AXIS)),
             P(None, DATA_AXIS),
             P(None, DATA_AXIS),
         ),
@@ -897,7 +936,7 @@ def _lookup_routed_hot_dispatch(
         local,
         mesh=mesh,
         in_specs=(
-            P(MODEL_AXIS, None),
+            _tspec(fused_table, P(MODEL_AXIS, None), P(MODEL_AXIS)),
             P(None, DATA_AXIS),
             P(None, DATA_AXIS),
             P(),
@@ -1033,7 +1072,8 @@ def _lookup_csr_routed_dispatch(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(MODEL_AXIS, None), q_spec, q_spec),
+        in_specs=(_tspec(fused_table, P(MODEL_AXIS, None), P(MODEL_AXIS)),
+                  q_spec, q_spec),
         out_specs=(P(bdim, None, None), P(bdim)),
         check_vma=check_vma_enabled(),
     )

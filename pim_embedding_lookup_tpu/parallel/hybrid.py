@@ -98,7 +98,7 @@ class HybridEmbeddingCollection:
     tables: tuple[TableConfig, ...]
     mesh: Mesh
     small: EmbeddingCollection | None
-    big: EmbeddingCollection | None
+    big: "EmbeddingCollection | QuantizedEmbeddingCollection | None"
     small_ids: tuple[int, ...]  # original table indices, in small-set order
     big_ids: tuple[int, ...]
     perm: tuple[int, ...]  # position of original table t in concat(small, big)
@@ -112,7 +112,14 @@ class HybridEmbeddingCollection:
         *,
         mxu_threshold: int = DEFAULT_MXU_THRESHOLD,
         packed: bool | str = "auto",
+        quantized_big: bool = False,
     ) -> "HybridEmbeddingCollection":
+        """``quantized_big``: store the big set as int8+per-row-scale
+        (QuantizedEmbeddingCollection) — the natural pairing for the
+        capacity regime the reference's 14MB MRAM slice forces
+        (emb_types.h:5): the small set keeps exact MXU matmuls while the
+        big set quarters its HBM bytes.  Inference-only (no sparse
+        updates into int8 rows)."""
         from .mesh import MODEL_AXIS
 
         small_raw = [
@@ -129,15 +136,26 @@ class HybridEmbeddingCollection:
                 tables, small_raw, mesh.shape[MODEL_AXIS]
             )
             small = EmbeddingCollection(layout=lay, mesh=mesh)
-        big = (
-            # lane-packed storage (dim<128): one 128-lane gather serves
-            # pack=128/dim rows — see FusedLayout.pack
-            EmbeddingCollection.create(
-                [tables[i] for i in big_ids], mesh, policy, packed=packed
+        if quantized_big:
+            from .quantized_collection import QuantizedEmbeddingCollection
+
+            big = (
+                QuantizedEmbeddingCollection.create(
+                    [tables[i] for i in big_ids], mesh, policy, packed=packed
+                )
+                if big_ids
+                else None
             )
-            if big_ids
-            else None
-        )
+        else:
+            big = (
+                # lane-packed storage (dim<128): one 128-lane gather serves
+                # pack=128/dim rows — see FusedLayout.pack
+                EmbeddingCollection.create(
+                    [tables[i] for i in big_ids], mesh, policy, packed=packed
+                )
+                if big_ids
+                else None
+            )
         order = list(small_ids) + list(big_ids)
         perm = tuple(order.index(t) for t in range(len(tables)))
         return HybridEmbeddingCollection(
@@ -153,25 +171,39 @@ class HybridEmbeddingCollection:
 
     # -- params -------------------------------------------------------------
 
+    @property
+    def _big_quantized(self) -> bool:
+        from .quantized_collection import QuantizedEmbeddingCollection
+
+        return isinstance(self.big, QuantizedEmbeddingCollection)
+
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         ks, kb = jax.random.split(key)
+        big = None
+        if self.big:
+            # int8 big set quantizes at init; dtype applies to array storage
+            big = self.big.init(kb) if self._big_quantized else self.big.init(kb, dtype)
         return {
             "small": self.small.init(ks, dtype) if self.small else None,
-            "big": self.big.init(kb, dtype) if self.big else None,
+            "big": big,
         }
 
     def device_put_tables(self, host_tables: Sequence[np.ndarray]) -> dict:
+        big = None
+        if self.big:
+            big_tables = [host_tables[i] for i in self.big_ids]
+            big = (
+                self.big.quantize_tables(big_tables)
+                if self._big_quantized
+                else self.big.device_put_tables(big_tables)
+            )
         return {
             "small": self.small.device_put_tables(
                 [host_tables[i] for i in self.small_ids]
             )
             if self.small
             else None,
-            "big": self.big.device_put_tables(
-                [host_tables[i] for i in self.big_ids]
-            )
-            if self.big
-            else None,
+            "big": big,
         }
 
     # -- lookup -------------------------------------------------------------
@@ -247,10 +279,22 @@ class HybridEmbeddingCollection:
         *,
         combiner: str = "sum",
         data_sharded: bool = False,
-    ) -> jax.Array:  # [B, T, D]
+        routed: bool = False,
+        capacity_factor: float | None = None,
+        return_stats: bool = False,
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:  # [B, T, D] (, dropped)
         """Ragged (CSR) pooled lookup — the reference's native wire shape
         (emb_host.h:234) on the flagship hybrid path.  Same data_sharded
-        contract as EmbeddingCollection.lookup_csr."""
+        contract as EmbeddingCollection.lookup_csr.
+
+        ``routed=True``: the big set's ragged entries ride the all-to-all
+        routing path (EmbeddingCollection.lookup_csr(routed=True) —
+        SUM/MEAN only); the small set stays on the replicated MXU path.
+        Drop semantics as in lookup_routed; ``return_stats=True`` adds the
+        big-set drop counter (0 at the default capacity factor)."""
+        if routed and combiner == "max":
+            raise ValueError("routed lookup_csr supports sum/mean combiners")
+        dropped = jnp.zeros((), jnp.int32)
         parts = []
         if self.small:
             sel = jnp.asarray(self.small_ids, dtype=jnp.int32)
@@ -268,17 +312,31 @@ class HybridEmbeddingCollection:
             )
         if self.big:
             sel = jnp.asarray(self.big_ids, dtype=jnp.int32)
-            parts.append(
-                self.big.lookup_csr(
+            if routed:
+                bp, dropped = self.big.lookup_csr(
+                    params["big"],
+                    jnp.take(indices, sel, axis=0),
+                    jnp.take(offsets, sel, axis=0),
+                    combiner=combiner,
+                    data_sharded=data_sharded,
+                    routed=True,
+                    capacity_factor=capacity_factor,
+                    return_stats=True,
+                )
+            else:
+                bp = self.big.lookup_csr(
                     params["big"],
                     jnp.take(indices, sel, axis=0),
                     jnp.take(offsets, sel, axis=0),
                     combiner=combiner,
                     data_sharded=data_sharded,
                 )
-            )
+            parts.append(bp)
         pooled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-        return jnp.take(pooled, jnp.asarray(self.perm, dtype=jnp.int32), axis=1)
+        out = jnp.take(pooled, jnp.asarray(self.perm, dtype=jnp.int32), axis=1)
+        if return_stats:
+            return out, dropped
+        return out
 
 
 def init_accumulator_hybrid(coll: HybridEmbeddingCollection) -> dict:
@@ -318,6 +376,12 @@ def sparse_update_hybrid(
     forward gathers did."""
     from .sparse_update import sparse_update
 
+    if coll.big is not None and coll._big_quantized:
+        raise ValueError(
+            "sparse_update_hybrid: int8 big set is inference-only (gradient "
+            "scatters cannot land in quantized rows) — train in f32/bf16 and "
+            "quantize_tables for serving"
+        )
     params, accs = dict(params), dict(accs)
     dropped = jnp.zeros((), jnp.int32)
     if coll.small is not None:

@@ -21,18 +21,16 @@ path is inference-only — SURVEY.md §2b).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ShardingPolicy, TableConfig
-from .collection import _owner_local, _rowish
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .collection import EmbeddingCollection
+from .mesh import MODEL_AXIS
 from .planner import FusedLayout, plan
 
 
@@ -154,6 +152,16 @@ class QuantizedEmbeddingCollection:
         offs = jnp.asarray(self.layout.row_offsets, dtype=indices.dtype)
         return indices + offs[:, None]
 
+    @property
+    def _delegate(self) -> EmbeddingCollection:
+        """The full f32 query surface runs on int8 dict storage: every
+        EmbeddingCollection lookup dispatch gathers through _gather_f32,
+        which dequantizes {"q", "scale"} params in-kernel (collection.py).
+        Sharing the dispatches (not copies of them) is what makes int8 a
+        full citizen of the query matrix — CSR, MEAN/MAX, routed, hot-cache
+        — rather than a parallel one-method implementation."""
+        return EmbeddingCollection(layout=self.layout, mesh=self.mesh)
+
     def lookup(
         self,
         params: dict,
@@ -161,87 +169,57 @@ class QuantizedEmbeddingCollection:
         mask: jax.Array,
         *,
         batch_size: int | None = None,
+        combiner: str = "sum",  # "sum" | "mean" | "max"
     ) -> jax.Array:  # [B, T, D] f32
-        t, c = indices.shape
-        b = batch_size if batch_size is not None else c
-        if c % b:
-            raise ValueError(f"capacity {c} not divisible by batch {b}")
-        g_idx = self.globalize(indices)
-        return _q_lookup_dispatch(
-            self.mesh,
-            self.layout.policy,
-            self.layout.rows_per_shard,
-            c // b,
-            self.layout.pack,
-            self._strided,
-            params["q"],
-            params["scale"],
-            g_idx,
-            mask,
+        return self._delegate.lookup(
+            params, indices, mask, batch_size=batch_size, combiner=combiner
         )
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mesh", "policy", "rows_per_shard", "pooling", "pack", "strided"
-    ),
-)
-def _q_lookup_dispatch(
-    mesh, policy, rows_per_shard, pooling, pack, strided, q, scale, g_idx, mask
-):
-    m = mesh.shape[MODEL_AXIS]
-    if policy == ShardingPolicy.REPLICATE:
-        fn = shard_map(
-            functools.partial(_q_pooled_lookup, pooling, pack, None, False, 1),
-            mesh=mesh,
-            in_specs=(P(), P(), P(None, DATA_AXIS), P(None, DATA_AXIS)),
-            out_specs=P(DATA_AXIS, None, None),
+    def lookup_csr(
+        self,
+        params: dict,
+        indices: jax.Array,  # [T, C] flat ids ([T, Nd*Cd] data_sharded)
+        offsets: jax.Array,  # [T, B+1] ([T, Nd*(Bd+1)] data_sharded)
+        *,
+        combiner: str = "sum",
+        data_sharded: bool = False,
+        routed: bool = False,
+        capacity_factor: float | None = None,
+        return_stats: bool = False,
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:
+        """Ragged (CSR) pooled lookup on int8 storage — the reference's
+        native wire shape (emb_host.h:234) at capacity-mode density.
+        Same contract as EmbeddingCollection.lookup_csr (incl. routed)."""
+        return self._delegate.lookup_csr(
+            params, indices, offsets, combiner=combiner,
+            data_sharded=data_sharded, routed=routed,
+            capacity_factor=capacity_factor, return_stats=return_stats,
         )
-        return fn(q, scale, g_idx, mask)
-    fn = shard_map(
-        functools.partial(
-            _q_pooled_lookup, pooling, pack, rows_per_shard, strided, m
-        ),
-        mesh=mesh,
-        in_specs=(
-            P(MODEL_AXIS, None),
-            P(MODEL_AXIS),
-            P(None, DATA_AXIS),
-            P(None, DATA_AXIS),
-        ),
-        out_specs=P(DATA_AXIS, None, None),
-    )
-    return fn(q, scale, g_idx, mask)
 
-
-def _q_pooled_lookup(pooling, pack, rows_per_shard, strided, num_shards,
-                     q_shard, scale_shard, g_idx, mask):
-    """Gather int8 rows + per-row scales, dequant, mask, pool (f32)."""
-    t, c = g_idx.shape
-    if rows_per_shard is not None:
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        owner, local = _owner_local(g_idx, rows_per_shard, num_shards, strided)
-        owned = (owner == shard) & (local < rows_per_shard) & mask
-        local = jnp.where(owned, local, 0)
-    else:
-        local, owned = g_idx, mask
-    d = q_shard.shape[-1] // pack
-    if pack == 1:
-        rows = jnp.take(q_shard, local, axis=0).astype(jnp.float32)
-    else:
-        # int8 in [-127, 127] is exact in bf16 (8 mantissa bits); one-hot
-        # group select on the VPU with f32 accumulation
-        wide = jnp.take(q_shard, local // pack, axis=0).astype(jnp.bfloat16)
-        g = jax.nn.one_hot(local % pack, pack, dtype=jnp.bfloat16)
-        rows = jnp.einsum(
-            "tcpd,tcp->tcd", wide.reshape(t, c, pack, d), g,
-            preferred_element_type=jnp.float32,
+    def lookup_routed(
+        self,
+        params: dict,
+        indices: jax.Array,
+        mask: jax.Array,
+        *,
+        batch_size: int | None = None,
+        capacity_factor: float | None = None,
+        hot_cache: tuple[jax.Array, jax.Array] | None = None,
+        return_stats: bool = False,
+        combiner: str = "sum",
+    ) -> jax.Array | tuple[jax.Array, jax.Array]:
+        """All-to-all routed lookup on int8 storage: rows dequantize ON THE
+        OWNER shard (scale rides the gather), so the return all_to_all
+        carries f32 rows exactly like the f32/bf16 routed path — drop
+        semantics and counters unchanged.  ``hot_cache`` holds f32 rows
+        (build it from dequantized hot rows); hits bypass the int8 gather
+        entirely."""
+        return self._delegate.lookup_routed(
+            params, indices, mask, batch_size=batch_size,
+            capacity_factor=capacity_factor, hot_cache=hot_cache,
+            return_stats=return_stats, combiner=combiner,
         )
-    s = jnp.take(scale_shard, local)  # [T, C] f32
-    rows = rows * (s * owned.astype(s.dtype))[..., None]
-    pooled = rows.reshape(t, c // pooling, pooling, -1).sum(axis=2)
-    pooled = jnp.transpose(pooled, (1, 0, 2))
-    if rows_per_shard is not None:
-        pooled = jax.lax.psum(pooled, MODEL_AXIS)
-    return pooled
+
+    @property
+    def safe_capacity_factor(self) -> float:
+        return self._delegate.safe_capacity_factor

@@ -50,6 +50,32 @@ def _entry_updates(g_idx, mask, g_pooled, pooling):
     return g_idx.reshape(-1), g_e.reshape(t * c, d), mask.reshape(-1)
 
 
+def _entry_updates_csr(g_idx, offsets, g_pooled):
+    """CSR form of _entry_updates: bag membership from offsets instead of a
+    static pooling factor (the variable-length analog the reference's wire
+    shape implies, emb_host.h:234).  Each valid entry gathers its bag's
+    cotangent row (sum-pool backward); padding entries (position >=
+    offsets[-1]) get a zero update and valid=False.
+
+    g_idx [T, C]; offsets [T, B+1] local to this entry window;
+    g_pooled [B, T, D].  Returns (ids [T*C], updates [T*C, D], valid [T*C]).
+    """
+    from ..ops.ragged import segment_ids_from_offsets
+
+    t, c = g_idx.shape
+    b = g_pooled.shape[0]
+    seg = jax.vmap(
+        lambda o: segment_ids_from_offsets(o, c)
+    )(offsets).astype(jnp.int32)  # [T, C]; padding -> b
+    valid = seg < b
+    g_t = jnp.transpose(g_pooled, (1, 0, 2))  # [T, B, D]
+    g_e = jnp.take_along_axis(
+        g_t, jnp.minimum(seg, b - 1)[..., None], axis=1
+    )  # [T, C, D]
+    g_e = g_e * valid[..., None].astype(g_e.dtype)
+    return g_idx.reshape(-1), g_e.reshape(t * c, -1), valid.reshape(-1)
+
+
 def _scatter_step(emb_shard, local, step, pack):
     """Scatter-add per-entry steps [C, D] at fused-local row ids ``local``
     (already clamped to oob=rows_per_shard for dropped entries).
@@ -69,14 +95,13 @@ def _scatter_step(emb_shard, local, step, pack):
     )
 
 
-def _apply_local(
+def _apply_entries(
     emb_shard,
     acc_shard,
-    g_idx,
-    mask,
-    g_pooled,
+    ids,
+    updates,
+    valid,
     *,
-    pooling: int,
     rows_per_shard: int,
     pack: int,
     row_offset_from_axis: bool,
@@ -87,9 +112,11 @@ def _apply_local(
     use_adagrad: bool,
     psum_sq_over_model: bool,
 ):
+    """Broadcast (ownership-masked) scatter step over a flat entry stream
+    (ids [E], updates [E, D], valid [E]) — every shard scans all E entries
+    and drops the ones it does not own."""
     from .collection import _owner_local
 
-    ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
     if row_offset_from_axis:
         shard = jax.lax.axis_index(MODEL_AXIS)
         owner, local = _owner_local(ids, rows_per_shard, num_shards, strided)
@@ -123,14 +150,13 @@ def _apply_local(
     return emb_shard, acc_shard
 
 
-def _routed_apply_local(
+def _routed_apply_entries(
     emb_shard,
     acc_shard,
-    g_idx,
-    mask,
-    g_pooled,
+    ids,
+    updates,
+    valid,
     *,
-    pooling: int,
     rows_per_shard: int,
     pack: int,
     strided: bool,
@@ -140,7 +166,8 @@ def _routed_apply_local(
     eps: float,
     use_adagrad: bool,
 ):
-    """All-to-all ROUTED optimizer step (ROW/ROW_HASH/TABLE_WISE).
+    """All-to-all ROUTED optimizer step (ROW/ROW_HASH/TABLE_WISE) over a
+    flat entry stream (ids [E], updates [E, D], valid [E]).
 
     The broadcast step makes every model shard scan all E entries and
     scatter with ownership-drop — per-shard scatter count stays E.  Here
@@ -153,7 +180,6 @@ def _routed_apply_local(
     Returns (emb_shard, acc_shard, dropped-scalar)."""
     from .collection import _owner_local
 
-    ids, updates, valid = _entry_updates(g_idx, mask, g_pooled, pooling)
     m = num_shards
     mi = jax.lax.axis_index(MODEL_AXIS)
     e_total = ids.shape[0]
@@ -262,10 +288,10 @@ def sparse_update(
 
     def fn(emb_shard, acc_shard, g_idx_s, mask_s, g_s):
         g_idx_g, mask_g, g_g = _gather_entries_over_data(g_idx_s, mask_s, g_s)
+        ids, updates, valid = _entry_updates(g_idx_g, mask_g, g_g, pooling)
         if routed:
-            return _routed_apply_local(
-                emb_shard, acc_shard, g_idx_g, mask_g, g_g,
-                pooling=pooling,
+            return _routed_apply_entries(
+                emb_shard, acc_shard, ids, updates, valid,
                 rows_per_shard=rps,
                 pack=coll.layout.pack,
                 strided=coll.layout.policy == ShardingPolicy.ROW_HASH,
@@ -273,9 +299,8 @@ def sparse_update(
                 cf=coll._resolve_cf(capacity_factor),
                 lr=lr, eps=eps, use_adagrad=use_adagrad,
             )
-        emb_shard, acc_shard = _apply_local(
-            emb_shard, acc_shard, g_idx_g, mask_g, g_g,
-            pooling=pooling,
+        emb_shard, acc_shard = _apply_entries(
+            emb_shard, acc_shard, ids, updates, valid,
             rows_per_shard=rps if rowish else coll.layout.total_rows,
             pack=coll.layout.pack,
             row_offset_from_axis=rowish,
@@ -307,6 +332,98 @@ def sparse_update(
         # so this site stays unchecked even under PEL_CHECK_VMA=1.
         check_vma=False,
     )(fused, acc, g_idx, mask, g_pooled)
+    if return_stats:
+        return fused, acc, dropped
+    return fused, acc
+
+
+def sparse_update_csr(
+    coll: EmbeddingCollection,
+    fused: jax.Array,
+    acc: jax.Array,
+    indices: jax.Array,  # [T, C] flat local ids ([T, Nd*Cd] data_sharded)
+    offsets: jax.Array,  # [T, B+1] bag offsets ([T, Nd*(Bd+1)] data_sharded)
+    g_pooled: jax.Array,  # [B, T, D] d(loss)/d(pooled-SUM)
+    *,
+    lr: float,
+    optimizer: str = "sgd",  # "sgd" | "row_adagrad"
+    eps: float = 1e-8,
+    routed: bool = False,
+    data_sharded: bool = False,
+    capacity_factor: float | None = None,
+    return_stats: bool = False,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array, jax.Array, jax.Array]:
+    """CSR (ragged-bag) form of ``sparse_update``: variable-length bags get
+    their cotangent by segment-gather from the offsets instead of the dense
+    path's static-L bag expansion — the backward of ``lookup_csr`` with
+    SUM pooling, on the reference's native wire shape (emb_host.h:234).
+
+    ``data_sharded`` follows the lookup_csr contract (per-shard entry
+    windows with window-local offsets); entry streams all-gather over the
+    data axis before applying so every model shard sees the full batch.
+    ``routed=True`` routes (id, update) pairs through the capacity-bucketed
+    all_to_all — drop-impossible at the default capacity factor, counted
+    in-graph below it (``return_stats=True`` for the counter)."""
+    policy = coll.layout.policy
+    rowish = policy in (
+        ShardingPolicy.ROW, ShardingPolicy.ROW_HASH, ShardingPolicy.TABLE_WISE
+    )
+    if routed and not rowish:
+        raise ValueError("routed sparse_update_csr needs ROW/ROW_HASH/TABLE_WISE")
+    if policy == ShardingPolicy.COLUMN:
+        raise ValueError(
+            "sparse_update_csr: COLUMN sharding not supported (use the dense "
+            "form or a rowish policy)"
+        )
+    g_idx = coll.globalize(indices)
+    use_adagrad = optimizer == "row_adagrad"
+    rps = coll.layout.rows_per_shard
+
+    emb_spec = P(MODEL_AXIS, None) if rowish else P()
+    acc_spec = P(MODEL_AXIS) if rowish else P()
+    q_spec = P(None, DATA_AXIS) if data_sharded else P()
+    g_spec = P(DATA_AXIS, None, None) if data_sharded else P()
+
+    def fn(emb_shard, acc_shard, g_idx_s, off_s, g_s):
+        ids, updates, valid = _entry_updates_csr(g_idx_s, off_s, g_s)
+        if data_sharded:
+            # every model shard needs the full batch's entry stream; the
+            # replicated form already has it on each device
+            ids = jax.lax.all_gather(ids, DATA_AXIS, axis=0, tiled=True)
+            updates = jax.lax.all_gather(updates, DATA_AXIS, axis=0, tiled=True)
+            valid = jax.lax.all_gather(valid, DATA_AXIS, axis=0, tiled=True)
+        if routed:
+            return _routed_apply_entries(
+                emb_shard, acc_shard, ids, updates, valid,
+                rows_per_shard=rps,
+                pack=coll.layout.pack,
+                strided=policy == ShardingPolicy.ROW_HASH,
+                num_shards=coll.layout.num_shards,
+                cf=coll._resolve_cf(capacity_factor),
+                lr=lr, eps=eps, use_adagrad=use_adagrad,
+            )
+        emb_shard, acc_shard = _apply_entries(
+            emb_shard, acc_shard, ids, updates, valid,
+            rows_per_shard=rps if rowish else coll.layout.total_rows,
+            pack=coll.layout.pack,
+            row_offset_from_axis=rowish,
+            strided=policy == ShardingPolicy.ROW_HASH,
+            num_shards=coll.layout.num_shards,
+            lr=lr, eps=eps, use_adagrad=use_adagrad,
+            psum_sq_over_model=False,
+        )
+        return emb_shard, acc_shard, jnp.zeros((), jnp.int32)
+
+    fused, acc, dropped = shard_map(
+        fn,
+        mesh=coll.mesh,
+        in_specs=(emb_spec, acc_spec, q_spec, q_spec, g_spec),
+        out_specs=(emb_spec, acc_spec, P()),
+        # same replication-by-construction argument as sparse_update: every
+        # data row applies the identical (all-gathered or replicated) entry
+        # stream; pinned numerically by tests/test_csr_update.py
+        check_vma=False,
+    )(fused, acc, g_idx, offsets.astype(jnp.int32), g_pooled)
     if return_stats:
         return fused, acc, dropped
     return fused, acc

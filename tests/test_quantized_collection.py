@@ -102,3 +102,256 @@ def test_quantized_rejects_column(mesh):
         QuantizedEmbeddingCollection.create(
             TABLES, mesh, ShardingPolicy.COLUMN
         )
+
+
+# ---- r4: int8 as a FULL citizen of the query surface (VERDICT r3 item 2) --
+
+
+def quantize_roundtrip_tables(tables_np):
+    """The f32 values the int8 storage actually represents — exact
+    expectations (no quantization-error tolerance needed)."""
+    out = []
+    for t in tables_np:
+        absmax = np.abs(t).max(axis=1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(t / scale[:, None]), -127, 127).astype(np.int8)
+        out.append(q.astype(np.float32) * scale[:, None])
+    return out
+
+
+def make_bags(rng, tables, b, max_len=6, empty_rate=0.2):
+    bags = []
+    for t in tables:
+        tb = []
+        for _ in range(b):
+            n = 0 if rng.random() < empty_rate else int(rng.integers(1, max_len))
+            tb.append(list(rng.integers(0, t.num_rows, size=n)))
+        bags.append(tb)
+    return bags
+
+
+def oracle_csr(tables_np, bags, combiner):
+    b, t = len(bags[0]), len(bags)
+    out = np.zeros((b, t, tables_np[0].shape[1]), np.float32)
+    for ti in range(t):
+        for bi in range(b):
+            ids = bags[ti][bi]
+            if not ids:
+                continue
+            rows = tables_np[ti][ids]
+            out[bi, ti] = {
+                "sum": rows.sum(0), "mean": rows.mean(0), "max": rows.max(0)
+            }[combiner]
+    return out
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean", "max"])
+@pytest.mark.parametrize("data_sharded", [False, True])
+def test_quantized_csr_combiners(mesh, combiner, data_sharded):
+    """CSR bags (incl. empty) + the full combiner set on int8 storage —
+    exact vs the dequantized-roundtrip oracle."""
+    from pim_embedding_lookup_tpu.ops.ragged import shard_csr
+
+    rng = np.random.default_rng(2)
+    coll = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES
+    ]
+    params = coll.quantize_tables(tables_np)
+    b = 16
+    bags = make_bags(rng, TABLES, b)
+    nd = mesh.shape["data"] if data_sharded else 1
+    idx, off = shard_csr(bags, nd, 8 * (b // nd))
+    out = coll.lookup_csr(
+        params, jnp.asarray(idx), jnp.asarray(off),
+        combiner=combiner, data_sharded=data_sharded,
+    )
+    want = oracle_csr(quantize_roundtrip_tables(tables_np), bags, combiner)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("combiner", ["mean", "max"])
+def test_quantized_dense_combiners(mesh, combiner):
+    rng = np.random.default_rng(4)
+    coll = QuantizedEmbeddingCollection.create(TABLES, mesh, ShardingPolicy.ROW)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES
+    ]
+    params = coll.quantize_tables(tables_np)
+    rt = quantize_roundtrip_tables(tables_np)
+    b, l = 12, 4
+    idx = np.stack(
+        [rng.integers(0, t.num_rows, size=(b, l)) for t in TABLES]
+    ).astype(np.int32)
+    mask = rng.random((len(TABLES), b, l)) < 0.7
+    out = coll.lookup(
+        params,
+        jnp.asarray(idx.reshape(len(TABLES), b * l)),
+        jnp.asarray(mask.reshape(len(TABLES), b * l)),
+        batch_size=b, combiner=combiner,
+    )
+    expected = np.zeros((b, len(TABLES), 16), np.float32)
+    for ti in range(len(TABLES)):
+        for bi in range(b):
+            ids = [idx[ti, bi, li] for li in range(l) if mask[ti, bi, li]]
+            if not ids:
+                continue
+            rows = rt[ti][ids]
+            expected[bi, ti] = rows.mean(0) if combiner == "mean" else rows.max(0)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("policy", [ShardingPolicy.ROW, ShardingPolicy.ROW_HASH])
+def test_quantized_routed_parity(mesh, policy):
+    """Routed int8 lookup (dense + CSR): zero drops at the default cf,
+    parity vs the broadcast int8 path — dequant rides the return
+    all_to_all as f32."""
+    from pim_embedding_lookup_tpu.ops.ragged import shard_csr
+
+    rng = np.random.default_rng(6)
+    coll = QuantizedEmbeddingCollection.create(TABLES, mesh, policy, packed=True)
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES
+    ]
+    params = coll.quantize_tables(tables_np)
+    b, l = 16, 5
+    idx = jnp.asarray(np.stack(
+        [rng.integers(0, t.num_rows, size=b * l) for t in TABLES]
+    ).astype(np.int32))
+    mask = jnp.asarray(rng.random((len(TABLES), b * l)) < 0.8)
+
+    got, dropped = coll.lookup_routed(
+        params, idx, mask, batch_size=b, return_stats=True
+    )
+    assert int(dropped) == 0
+    want = coll.lookup(params, idx, mask, batch_size=b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+    bags = make_bags(rng, TABLES, b)
+    cidx, coff = shard_csr(bags, 1, 8 * b)
+    got_csr, csr_drops = coll.lookup_csr(
+        params, jnp.asarray(cidx), jnp.asarray(coff),
+        routed=True, return_stats=True,
+    )
+    assert int(csr_drops) == 0
+    want_csr = coll.lookup_csr(params, jnp.asarray(cidx), jnp.asarray(coff))
+    np.testing.assert_allclose(
+        np.asarray(got_csr), np.asarray(want_csr), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_hybrid_quantized_big(mesh):
+    """MXU small set + int8 big set (the capacity pairing): dense + CSR +
+    routed parity vs the all-f32 hybrid within quantization error; sparse
+    update refused."""
+    from pim_embedding_lookup_tpu.ops.ragged import shard_csr
+    from pim_embedding_lookup_tpu.parallel.hybrid import (
+        HybridEmbeddingCollection,
+        init_accumulator_hybrid,
+        sparse_update_hybrid,
+    )
+
+    tables = (
+        TableConfig(num_rows=50, dim=16, name="tiny"),
+        TableConfig(num_rows=40_000, dim=16, name="big1"),
+        TableConfig(num_rows=300, dim=16, name="small"),
+        TableConfig(num_rows=60_000, dim=16, name="big2"),
+    )
+    rng = np.random.default_rng(8)
+    coll = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW_HASH, mxu_threshold=1000,
+        quantized_big=True,
+    )
+    assert coll._big_quantized
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    params = coll.device_put_tables(tables_np)
+    assert params["big"]["q"].dtype == jnp.int8
+
+    b, l = 16, 3
+    idx = jnp.asarray(np.stack(
+        [rng.integers(0, t.num_rows, size=b * l) for t in tables]
+    ).astype(np.int32))
+    mask = jnp.asarray(rng.random((len(tables), b * l)) < 0.8)
+
+    f32_coll = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW_HASH, mxu_threshold=1000
+    )
+    f32_params = f32_coll.device_put_tables(tables_np)
+    want = f32_coll.lookup(f32_params, idx, mask, batch_size=b)
+    got = coll.lookup(params, idx, mask, batch_size=b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.15)
+
+    got_r, dropped = coll.lookup(
+        params, idx, mask, batch_size=b, routed=True, return_stats=True
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(got), rtol=1e-5, atol=1e-6
+    )
+
+    bags = make_bags(rng, tables, b)
+    cidx, coff = shard_csr(bags, 1, 8 * b)
+    csr = coll.lookup_csr(params, jnp.asarray(cidx), jnp.asarray(coff))
+    csr_r, csr_drops = coll.lookup_csr(
+        params, jnp.asarray(cidx), jnp.asarray(coff),
+        routed=True, return_stats=True,
+    )
+    assert int(csr_drops) == 0
+    np.testing.assert_allclose(
+        np.asarray(csr_r), np.asarray(csr), rtol=1e-5, atol=1e-6
+    )
+
+    g = jnp.asarray(rng.standard_normal((b, len(tables), 16)).astype(np.float32))
+    with pytest.raises(ValueError, match="inference-only"):
+        sparse_update_hybrid(
+            coll, params, init_accumulator_hybrid(f32_coll), idx, mask, g,
+            lr=0.1,
+        )
+
+
+def test_quantized_checkpoint_roundtrip(mesh, tmp_path):
+    """{"q","scale"} params round-trip through orbax with the layout
+    fingerprint; a different-layout collection is refused (VERDICT r3
+    item 2: checkpoint fingerprint test for the int8 mode)."""
+    from pim_embedding_lookup_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(10)
+    coll = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES
+    ]
+    params = coll.quantize_tables(tables_np)
+    path = str(tmp_path / "q_ckpt")
+    ckpt.save(path, params, meta=ckpt.collection_meta(coll))
+
+    restored = ckpt.restore(
+        path, params, expect_meta=ckpt.collection_meta(coll)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["q"]), np.asarray(params["q"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored["scale"]), np.asarray(params["scale"])
+    )
+
+    other = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, ShardingPolicy.ROW, packed=True
+    )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ckpt.restore(
+            path, other.quantize_tables(tables_np),
+            expect_meta=ckpt.collection_meta(other),
+        )
