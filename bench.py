@@ -52,13 +52,14 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
     from pim_embedding_lookup_tpu.parallel.hybrid import HybridEmbeddingCollection
 
-    # pallas_call inside lax.fori_loop fails the remote Mosaic compile
-    # (docs/PERF.md rule 4), and this timed loop IS a fori_loop — pin the
-    # XLA gather for full-width f32 configs unless explicitly overridden.
-    # The pallas full-width path is timed honestly by the chain harness
-    # (tools/kernel_lab.py --only pallaschain).
-    if "PEL_PALLAS_GATHER" not in __import__("os").environ:
-        _coll_mod.PALLAS_GATHER = "off"
+    # The pallas gather must stay off inside this in-graph fori_loop
+    # (pallas_call in fori_loop fails the remote Mosaic compile —
+    # docs/PERF.md rule 4).  collection.PALLAS_GATHER already defaults to
+    # "off" and honors PEL_PALLAS_GATHER; just surface a loud note if an
+    # env override turned it on (ADVICE r3: no double bookkeeping here).
+    if _coll_mod.PALLAS_GATHER != "off":
+        log(f"WARNING: PALLAS_GATHER={_coll_mod.PALLAS_GATHER} — pallas in "
+            "a fori_loop will fail the remote Mosaic compile (PERF.md rule 4)")
 
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
@@ -66,15 +67,32 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         if jax.device_count() == 1
         else ShardingPolicy.ROW_HASH  # balanced ownership (docs/PERF.md)
     )
-    table_dtype = jnp.dtype(dtype)
-    if quantized:
+    quantized = quantized or dtype == "int8"
+    table_dtype = jnp.dtype("float32" if dtype == "int8" else dtype)
+    if quantized and hybrid:
+        # MXU small set + int8 big set: the capacity pairing (emb_types.h:5
+        # analog) on the flagship hybrid path
+        coll = HybridEmbeddingCollection.create(
+            tables, mesh, policy, packed=packed, quantized_big=True,
+            **({"mxu_threshold": mxu_threshold} if mxu_threshold else {}),
+        )
+        log(f"layout: hybrid-int8 mxu_tables={len(coll.small_ids)} "
+            f"int8_tables={len(coll.big_ids)} "
+            f"pack={coll.big.layout.pack if coll.big else 1}")
+        params = coll.init(jax.random.PRNGKey(seed))
+
+        def lookup_fn(p, i, m):
+            return coll.lookup(p, i, m, batch_size=batch)
+    elif quantized:
         # int8 capacity mode: 4x the rows of f32 in the same HBM (the
         # MRAM-slice analog, emb_types.h:5); f32 dequant-accumulate
         from pim_embedding_lookup_tpu.parallel import (
             QuantizedEmbeddingCollection,
         )
 
-        coll = QuantizedEmbeddingCollection.create(tables, mesh, policy)
+        coll = QuantizedEmbeddingCollection.create(
+            tables, mesh, policy, packed=packed
+        )
         log(f"layout: int8 quantized policy={coll.layout.policy} "
             f"total_rows={coll.layout.total_rows} pack={coll.layout.pack}")
         params = coll.init(jax.random.PRNGKey(seed))
@@ -143,10 +161,19 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
     lookups_per_s = batch * t / dt
     dim = tables[0].dim
-    bytes_moved = batch * t * pooling * dim * 4 + batch * t * dim * 4
+    # PHYSICAL bytes at the storage dtype (gather-model estimate: per entry
+    # one dim-wide row at storage width, +4B scale for int8; f32 pooled
+    # output).  The MXU small set in hybrid mode moves table*batch matmul
+    # bytes instead — this figure is the gather-engine bound, not a
+    # hybrid-exact count.  (VERDICT r3 weak #4: was hardwired 4B/element.)
+    itemsize = {"int8": 1, "bfloat16": 2, "float32": 4}[
+        "int8" if quantized else dtype
+    ]
+    entry_bytes = dim * itemsize + (4 if quantized else 0)
+    bytes_moved = batch * t * pooling * entry_bytes + batch * t * dim * 4
     gbps = bytes_moved / dt / 1e9
     log(f"tpu: {dt*1e6:.1f} us/iter, {lookups_per_s/1e6:.2f}M lookups/s, "
-        f"{gbps:.1f} GB/s pooled")
+        f"{gbps:.1f} GB/s pooled (storage-dtype gather model)")
     return lookups_per_s, gbps, dt
 
 
@@ -223,8 +250,10 @@ def main():
     ap.add_argument("--no-hybrid", action="store_true",
                     help="disable the MXU small-table path")
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["float32", "bfloat16"],
-                    help="table storage dtype (accumulation is always f32)")
+                    choices=["float32", "bfloat16", "int8"],
+                    help="table storage dtype (accumulation is always f32); "
+                         "int8 = capacity mode (hybrid: MXU small set + "
+                         "int8 big set)")
     ap.add_argument("--no-packed", action="store_true",
                     help="disable lane-packed storage for dim<128 tables")
     ap.add_argument("--mxu-threshold", type=int, default=0,

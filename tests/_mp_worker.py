@@ -144,7 +144,156 @@ def main() -> None:
                 err_msg=f"routed update shard {shard.index} (proc {pid})",
             )
 
+    # r4 flagship-composition coverage (VERDICT r3 item 7), ROW_HASH only
+    # to bound the gloo suite's wall clock:
+    #   (a) data-sharded CSR lookup (broadcast + routed) across processes
+    #   (b) hybrid (MXU small set + packed big set) ROUTED train step parity
+    if policy == ShardingPolicy.ROW_HASH:
+        _csr_across_processes(mesh, coll, fused, tables, tables_np, pid, nproc)
+        _hybrid_routed_train_parity(mesh, pid, nproc)
+
     print(f"proc {pid} policy={policy_name}: OK", flush=True)
+
+
+def _csr_across_processes(mesh, coll, fused, tables, tables_np, pid, nproc):
+    """Data-sharded CSR wire form on the true multi-process mesh: each
+    process contributes its own per-shard entry window (window-local
+    offsets), output bags land batch-sharded; routed variant exercises the
+    capacity-bucketed all_to_alls across the pod mesh."""
+    import jax
+    import numpy as np
+
+    from pim_embedding_lookup_tpu.ops.ragged import shard_csr
+    from pim_embedding_lookup_tpu.parallel import multihost
+
+    rng = np.random.default_rng(11)  # same seed in every process
+    t, b = len(tables), 8
+    bags = [
+        [
+            rng.integers(0, tb.num_rows, size=rng.integers(0, 5))
+            .astype(int).tolist()
+            for _ in range(b)
+        ]
+        for tb in tables
+    ]
+    cap = b * 5 // nproc
+    idx_host, off_host = shard_csr(bags, nproc, capacity_per_shard=cap)
+
+    oracle = np.zeros((b, t, 16), np.float32)
+    for k in range(t):
+        for bi, bag in enumerate(bags[k]):
+            for r in bag:
+                oracle[bi, k] += tables_np[k][r]
+
+    bd = b // nproc
+    lo_i, hi_i = pid * cap, (pid + 1) * cap
+    lo_o, hi_o = pid * (bd + 1), (pid + 1) * (bd + 1)
+    idx, off = multihost.make_global_queries(
+        mesh, idx_host[:, lo_i:hi_i], off_host[:, lo_o:hi_o]
+    )
+    out = coll.lookup_csr(fused, idx, off, data_sharded=True)
+    out.block_until_ready()
+    for shard in out.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), oracle[shard.index], rtol=1e-5, atol=1e-5,
+            err_msg=f"data-sharded CSR shard {shard.index} (proc {pid})",
+        )
+
+    out_r, dropped = coll.lookup_csr(
+        fused, idx, off, data_sharded=True, routed=True, return_stats=True
+    )
+    out_r.block_until_ready()
+    assert int(jax.device_get(dropped)) == 0, "routed CSR dropped entries"
+    for shard in out_r.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), oracle[shard.index], rtol=1e-5, atol=1e-5,
+            err_msg=f"routed CSR shard {shard.index} (proc {pid})",
+        )
+
+
+def _hybrid_routed_train_parity(mesh, pid, nproc):
+    """One full hybrid sparse train step, routed vs broadcast, on identical
+    inputs across the true 2-process mesh: losses match and every
+    addressable big-set shard matches — the flagship multi-chip
+    composition's collectives (all_to_all routing + psum merges + DP grad
+    all-reduce) agree with the broadcast path's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pim_embedding_lookup_tpu.config import DLRMConfig, ShardingPolicy, TableConfig
+    from pim_embedding_lookup_tpu.models import DLRM
+    from pim_embedding_lookup_tpu.models.sparse_train import (
+        make_sparse_train_state,
+        make_sparse_train_step,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = DLRMConfig(
+        dense_dim=4,
+        mlp_bot=(8, 16),
+        mlp_top=(8, 1),
+        tables=(
+            TableConfig(num_rows=48, dim=16, name="s"),    # MXU small set
+            TableConfig(num_rows=16384, dim=16, name="b"),  # packed big set
+        ),
+    )
+    model = DLRM(cfg, mesh, ShardingPolicy.ROW_HASH, hybrid=True)
+
+    rng = np.random.default_rng(23)  # same seed in every process
+    t, l = 2, 2
+    b = 8 * nproc  # global batch, DP-sharded over processes
+    dense_h = rng.standard_normal((b, 4)).astype(np.float32)
+    idx_h = np.stack(
+        [rng.integers(0, tb.num_rows, size=b * l) for tb in cfg.tables]
+    ).astype(np.int32)
+    mask_h = np.ones((t, b * l), bool)
+    labels_h = (rng.random(b) < 0.5).astype(np.float32)
+
+    bd, cd = b // nproc, (b * l) // nproc
+    d_sh = NamedSharding(mesh, P("data"))
+    dense = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None)), dense_h[pid * bd:(pid + 1) * bd]
+    )
+    labels = jax.make_array_from_process_local_data(
+        d_sh, labels_h[pid * bd:(pid + 1) * bd]
+    )
+    q_sh = NamedSharding(mesh, P(None, "data"))
+    idx = jax.make_array_from_process_local_data(
+        q_sh, idx_h[:, pid * cd:(pid + 1) * cd]
+    )
+    mask = jax.make_array_from_process_local_data(
+        q_sh, mask_h[:, pid * cd:(pid + 1) * cd]
+    )
+
+    outs = {}
+    for routed in (False, True):
+        # the train step DONATES emb/acc buffers — rebuild state per
+        # variant (init is key-deterministic, so both start identical)
+        params = model.init(jax.random.PRNGKey(0))
+        dense_opt, opt_state, acc = make_sparse_train_state(
+            model, params, lr=0.2
+        )
+        dense_params = {k: params[k] for k in ("bot", "top")}
+        step = make_sparse_train_step(
+            model, dense_opt, lr=0.2, optimizer="row_adagrad", routed=routed
+        )
+        emb, acc_o, dp, os_, loss = step(
+            params["emb"], acc, dense_params, opt_state,
+            dense, idx, mask, labels,
+        )
+        jax.block_until_ready(loss)
+        outs[routed] = (emb, float(jax.device_get(loss)))
+
+    assert abs(outs[True][1] - outs[False][1]) < 1e-5, (
+        f"routed/broadcast loss mismatch: {outs[True][1]} vs {outs[False][1]}"
+    )
+    big_r, big_b = outs[True][0]["big"], outs[False][0]["big"]
+    for sr, sb in zip(big_r.addressable_shards, big_b.addressable_shards):
+        np.testing.assert_allclose(
+            np.asarray(sr.data), np.asarray(sb.data), rtol=1e-5, atol=1e-6,
+            err_msg=f"hybrid routed big-set shard {sr.index} (proc {pid})",
+        )
 
 
 if __name__ == "__main__":

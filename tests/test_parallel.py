@@ -195,6 +195,12 @@ def test_check_vma_debug_mode(mesh, rng, monkeypatch):
     from pim_embedding_lookup_tpu.parallel.mesh import check_vma_enabled
 
     assert check_vma_enabled()
+    # check_vma_enabled() is read at TRACE time inside the jitted dispatch
+    # and is not part of its cache key — an earlier test may have traced
+    # the same (policy, shape) signature with check_vma=False, and a cached
+    # executable would silently skip the checker (ADVICE r3).  Clear jit
+    # caches so every lookup below re-traces under PEL_CHECK_VMA=1.
+    jax.clear_caches()
     for policy in (ShardingPolicy.REPLICATE, ShardingPolicy.ROW_HASH,
                    ShardingPolicy.COLUMN):
         coll = EmbeddingCollection.create(TABLES, mesh, policy)

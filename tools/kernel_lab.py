@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--pooling", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--zipf", type=float, default=0.0,
+                    help="draw zipf(a) ids instead of uniform — the skewed "
+                         "dup-rate regime for the dedup experiments "
+                         "(VERDICT r3 item 5)")
     ap.add_argument("--nbuf", type=int, default=0, help="pallas nbuf override")
     ap.add_argument("--chain", type=int, default=8,
                     help="unrolled calls per dispatch for chain-timed ops")
@@ -111,7 +115,22 @@ def main():
     jax.block_until_ready(table)
 
     rng = np.random.default_rng(0)
-    flat_idx = jnp.asarray(rng.integers(0, n, size=c).astype(np.int32))
+    if args.zipf > 1.0:
+        flat_np = np.minimum(rng.zipf(args.zipf, size=c) - 1, n - 1).astype(
+            np.int32
+        )
+    else:
+        flat_np = rng.integers(0, n, size=c).astype(np.int32)
+    uniq = len(np.unique(flat_np))
+    print(
+        f"ids: {'zipf %.2f' % args.zipf if args.zipf > 1 else 'uniform'} "
+        f"unique {uniq}/{c} ({uniq/c:.1%})",
+        file=sys.stderr,
+    )
+    flat_idx = jnp.asarray(flat_np)
+    # NOTE: the per-iteration rotation is a bijection (i+stride mod n), so
+    # the DUPLICATE structure (and thus the dedup win/loss) is invariant
+    # across iterations even though the hot ids move.
     stride = jnp.int32(n // 7 + 1)
 
     def rotate(i):
@@ -143,6 +162,53 @@ def main():
     if want("take"):
         report("take+pool", igtimer(
             lambda t, i: jnp.take(t, i, axis=0), table,
+            flat_idx, rotate, args.iters))
+
+    if want("dedupk"):
+        # Gather-side K-capacity sorted-unique dedup (VERDICT r3 item 5):
+        # sort the c ids, rank each entry by its unique id, compress the
+        # first occurrences into a K-slot id buffer (ranks >= K clamp to
+        # slot K-1 — a TIMING harness, not an exact kernel; the unique
+        # fraction above says how large K must be for exactness), gather
+        # only K rows from HBM, then reconstruct per-entry rows with two
+        # SMALL-operand gathers ([K,d] rank-select + [c,d] unsort).  Wins
+        # iff sort + 2 small gathers < (c-K) HBM gather issues.
+        for kfrac in (2, 4):
+            kcap = c // kfrac
+
+            def dedup_gather(t, i, kcap=kcap):
+                order = jnp.argsort(i)
+                si = jnp.take(i, order)
+                newu = jnp.concatenate(
+                    [jnp.ones((1,), jnp.int32),
+                     (si[1:] != si[:-1]).astype(jnp.int32)]
+                )
+                rank = jnp.cumsum(newu) - 1  # [c] unique rank (sorted order)
+                uidbuf = jnp.zeros((kcap,), jnp.int32).at[
+                    jnp.where(rank < kcap, rank, kcap)
+                ].set(si, mode="drop")
+                rows_u = jnp.take(t, uidbuf, axis=0)  # K HBM gathers
+                vals_sorted = jnp.take(
+                    rows_u, jnp.minimum(rank, kcap - 1), axis=0
+                )  # c gathers from a K-row operand
+                inv = jnp.zeros((c,), jnp.int32).at[order].set(
+                    jnp.arange(c, dtype=jnp.int32)
+                )
+                return jnp.take(vals_sorted, inv, axis=0)  # entry order
+
+            report(f"dedup-gather K=c/{kfrac}", igtimer(
+                dedup_gather, table, flat_idx, rotate, args.iters))
+
+        # issue-rate probe: the SAME c gather issues against a c/2-row
+        # operand — if this is not much faster than the 33M-row take, the
+        # gather wall is ISSUE RATE, not operand locality, and no dedup
+        # reconstruction can win
+        small = jax.jit(
+            lambda k: jax.random.uniform(k, (c // 2, d), jnp.float32)
+        )(key)
+        jax.block_until_ready(small)
+        report("take from c/2-row operand", igtimer(
+            lambda t, i: jnp.take(t, i % (c // 2), axis=0), small,
             flat_idx, rotate, args.iters))
 
     if want("sorted"):
@@ -276,6 +342,60 @@ def main():
 
         report("packed bf16 einsum", igtimer(packed_bf16, tpb, flat_idx,
                                              rotate, args.iters))
+
+    if want("sdk") and 128 % d == 0 and d < 128:
+        # Scatter-side dedup at the CURRENT id distribution (pair with
+        # --zipf for the skewed regime; VERDICT r3 item 5) — the minimal
+        # raw-vs-sort-vs-sort+dedup triple without the full scatter grid.
+        pack_ = 128 // d
+        S_ = ((n + pack_ - 1) // pack_ * pack_) // pack_
+        tp_ = jax.jit(
+            lambda k: jax.random.uniform(k, (S_, 128), jnp.float32, -0.1, 0.1)
+        )(key)
+        jax.block_until_ready(tp_)
+        u128_ = jnp.asarray(
+            rng.standard_normal((c, 128)).astype(np.float32) * 1e-4
+        )
+
+        def sdk_timer(step_fn):
+            @jax.jit
+            def loop(tbl, idx, u128, nn):
+                def body(i, carry):
+                    tbl, idx_i = carry
+                    return step_fn(tbl, idx_i, u128), rotate(idx_i)
+
+                tbl, _ = jax.lax.fori_loop(0, nn, body, (tbl, idx))
+                return jnp.sum(tbl[:8])
+
+            jax.block_until_ready(loop(tp_, flat_idx, u128_, 2))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(tp_, flat_idx, u128_, args.iters))
+            return (time.perf_counter() - t0) / args.iters
+
+        report("sdk scatter raw128", sdk_timer(
+            lambda tbl, i, u: tbl.at[i // pack_].add(u, mode="drop")))
+        report("sdk scatter sorted", sdk_timer(
+            lambda tbl, i, u: tbl.at[jnp.sort(i) // pack_].add(
+                u, mode="drop", indices_are_sorted=True)))
+
+        def sdk_dedup(tbl, i, u):
+            order = jnp.argsort(i)
+            sid = jnp.take(i, order) // pack_
+            su = jnp.take(u, order, axis=0)
+            newseg = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 (sid[1:] != sid[:-1]).astype(jnp.int32)]
+            )
+            seg = jnp.cumsum(newseg)
+            rows = jax.ops.segment_sum(su, seg, num_segments=c)
+            uid = jax.ops.segment_max(sid, seg, num_segments=c)
+            uid = jnp.where(uid <= 0, S_, uid)  # empty segments -> drop
+            return tbl.at[uid].add(
+                rows, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            )
+
+        report("sdk scatter sort+dedup", sdk_timer(sdk_dedup))
 
     if want("scatter") and 128 % d == 0 and d < 128:
         # Scatter-add experiments on packed storage [S, 128]: the training

@@ -106,6 +106,13 @@ def main():
         "config": args.config,
         "batch": b,
         "phases_us": {k: round(v, 1) for k, v in timer.report().items()},
+        "note": (
+            "feed/fetch ride this environment's remote axon tunnel "
+            "(~0.4GB/s H2D, ~3MB/s D2H), so they measure the TUNNEL, not "
+            "PCIe/DMA — e.g. a 13.6MB pooled fetch takes seconds here. "
+            "Portable signals: compute, and the phase STRUCTURE. Device "
+            "throughput truth lives in bench.py's in-graph loop."
+        ),
     }))
 
 
