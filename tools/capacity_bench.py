@@ -88,6 +88,48 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(loop(params, idx, args.iters))
     dt = (time.perf_counter() - t0) / args.iters
+
+    # FULL query surface at capacity (VERDICT r3 item 2): the same int8
+    # storage serves the CSR wire shape and the MEAN combiner through the
+    # shared dispatches — timed here so the capacity point isn't a
+    # single-method citizen.  (The routed variant needs model>1; it is
+    # parity-tested on the 8-device CPU mesh, tests/test_quantized_
+    # collection.py::test_quantized_routed_parity.)
+    offsets = jnp.asarray(
+        np.tile(np.arange(b + 1, dtype=np.int32) * l, (t, 1))
+    )
+
+    @jax.jit
+    def loop_csr(params, idx, n):
+        def body(i, carry):
+            acc, idx_i = carry
+            out = coll.lookup_csr(params, idx_i, offsets)
+            return acc + jnp.sum(out), (idx_i + stride[:, None]) % rows_arr[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
+        return acc
+
+    jax.block_until_ready(loop_csr(params, idx, 2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop_csr(params, idx, args.iters))
+    dt_csr = (time.perf_counter() - t0) / args.iters
+
+    @jax.jit
+    def loop_mean(params, idx, n):
+        def body(i, carry):
+            acc, idx_i = carry
+            out = coll.lookup(params, idx_i, mask, batch_size=b,
+                              combiner="mean")
+            return acc + jnp.sum(out), (idx_i + stride[:, None]) % rows_arr[:, None]
+
+        acc, _ = jax.lax.fori_loop(0, n, body, (jnp.float32(0), idx))
+        return acc
+
+    jax.block_until_ready(loop_mean(params, idx, 2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(loop_mean(params, idx, args.iters))
+    dt_mean = (time.perf_counter() - t0) / args.iters
+
     print(json.dumps({
         "metric": "int8_capacity_pooled_lookups_per_s",
         "tables_gb_int8": round(gb_int8, 2),
@@ -95,6 +137,12 @@ def main():
         "us_per_iter": round(dt * 1e6, 1),
         "value": round(b * t / dt, 1),
         "unit": "lookups/s",
+        "csr_us_per_iter": round(dt_csr * 1e6, 1),
+        "csr_lookups_per_s": round(b * t / dt_csr, 1),
+        "mean_us_per_iter": round(dt_mean * 1e6, 1),
+        "mean_lookups_per_s": round(b * t / dt_mean, 1),
+        "routed_note": "routed int8 needs model>1; parity-tested on the "
+                       "8-device CPU mesh (test_quantized_routed_parity)",
     }))
 
 
