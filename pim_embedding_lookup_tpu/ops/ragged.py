@@ -26,12 +26,19 @@ def segment_ids_from_offsets(offsets: jax.Array, capacity: int) -> jax.Array:
     (padding) map to segment id B, which callers drop.
 
     This replaces the reference's per-tasklet pointer walk over offsets
-    (emb_dpu_lookup.c:106-116) with a vectorised searchsorted.
+    (emb_dpu_lookup.c:106-116) with scatter-ones-at-boundaries + cumsum:
+    seg[p] = #{b in 1..B : offsets[b] <= p}.  (An earlier searchsorted
+    formulation lowered to a per-entry while loop on TPU and cost as much
+    as the whole segment reduce; the B-entry scatter + c-long prefix sum
+    is fully vectorized.)  Empty bags make consecutive equal boundaries —
+    the scatter-ADD accumulates their multiplicity, so the ids still jump
+    correctly past them.  Boundaries == capacity (full buffer) fall out of
+    range and drop.
     """
-    pos = jnp.arange(capacity, dtype=offsets.dtype)
-    # bag b iff offsets[b] <= pos < offsets[b+1]  <=>  searchsorted of pos
-    # into offsets[1:] from the right.
-    return jnp.searchsorted(offsets[1:], pos, side="right")
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets[1:]].add(
+        1, mode="drop"
+    )
+    return jnp.cumsum(marks)
 
 
 def pack_bags(

@@ -164,6 +164,69 @@ def main():
             lambda t, i: jnp.take(t, i, axis=0), table,
             flat_idx, rotate, args.iters))
 
+    if want("csrseg"):
+        # CSR bag pooling engines (r4): the CSR surface measured ~5x over
+        # fixed-L at the capacity shape (capacity_bench: 7.1 vs 1.35 ms) —
+        # where does it go?  Candidates for the [c, d] rows -> [B, d]
+        # ragged reduce, same gather feeding all three:
+        #   segseq  jax.ops.segment_sum (sorted ids)    — production today
+        #   cumsum  prefix-sum rows, pooled = csum[off[b+1]] - csum[off[b]]
+        #           (two tiny gathers; f32 cumsum error ~sqrt(L)*eps)
+        #   fixedl  reshape+sum at the same shapes      — the dense floor
+        bags = max(1, c // max(1, args.pooling))
+        lfix = c // bags
+        offs = jnp.arange(bags + 1, dtype=jnp.int32) * lfix
+
+        def gather_rows(t, i):
+            return jnp.take(t, i, axis=0)  # [c, d] f32
+
+        def seg_pool(t, i):
+            rows = gather_rows(t, i)
+            seg = jnp.searchsorted(offs[1:], jnp.arange(c, dtype=jnp.int32),
+                                   side="right")
+            return jax.ops.segment_sum(
+                rows, seg, num_segments=bags, indices_are_sorted=True
+            )
+
+        report("csrseg segsum searchsorted", igtimer(
+            seg_pool, table, flat_idx, rotate, args.iters))
+
+        def seg_pool_marks(t, i):
+            # production formulation (ops/ragged.py r4): boundary scatter +
+            # cumsum replaces the per-entry searchsorted while-loop
+            from pim_embedding_lookup_tpu.ops.ragged import (
+                segment_ids_from_offsets,
+            )
+
+            rows = gather_rows(t, i)
+            seg = segment_ids_from_offsets(offs, c)
+            return jax.ops.segment_sum(
+                rows, seg, num_segments=bags + 1, indices_are_sorted=True
+            )[:bags]
+
+        report("csrseg segsum scatter-marks", igtimer(
+            seg_pool_marks, table, flat_idx, rotate, args.iters))
+
+        def cumsum_pool(t, i):
+            rows = gather_rows(t, i)
+            csum = jnp.concatenate(
+                [jnp.zeros((1, rows.shape[1]), rows.dtype),
+                 jnp.cumsum(rows, axis=0)]
+            )
+            return jnp.take(csum, offs[1:], axis=0) - jnp.take(
+                csum, offs[:-1], axis=0
+            )
+
+        report("csrseg cumsum-diff", igtimer(
+            cumsum_pool, table, flat_idx, rotate, args.iters))
+
+        def fixedl_pool(t, i):
+            rows = gather_rows(t, i)
+            return rows.reshape(bags, lfix, -1).sum(axis=1)
+
+        report("csrseg fixed-L reshape", igtimer(
+            fixedl_pool, table, flat_idx, rotate, args.iters))
+
     if want("dedupk"):
         # Gather-side K-capacity sorted-unique dedup (VERDICT r3 item 5):
         # sort the c ids, rank each entry by its unique id, compress the
