@@ -94,7 +94,14 @@ def hot_cache_select(hot_ids, hot_rows, gs, vs):
     invalid entries return zero rows.
     """
     k = hot_ids.shape[0]
-    pos = jnp.searchsorted(hot_ids, gs)
+    # The default "scan" binary search lowers to a sequential log2(K)-step
+    # loop of per-entry gathers on TPU (the same trap that cost the CSR
+    # surface 4.4x — docs/PERF.md "searchsorted trap").  Measured at
+    # E=27k/K=1024 on chip: compare_all 654us, sort 998us, scan 2037us.
+    # compare_all's E x K compare matrix scales linearly with K, so switch
+    # to the O((E+K) log) concat-sort above 2048 cached rows.
+    method = "compare_all" if k <= 2048 else "sort"
+    pos = jnp.searchsorted(hot_ids, gs, method=method)
     pos_c = jnp.minimum(pos, k - 1)
     hit = (jnp.take(hot_ids, pos_c) == gs) & (pos < k) & vs
     rows = jnp.take(hot_rows, pos_c, axis=0)
