@@ -49,3 +49,12 @@ def test_committed_artifact_matches_audit():
     rec = audit(4, e_total=E_TOTAL)
     assert rows["4"]["routed_max_gather"] == max(rec["routed_gather_rows"])
     assert rows["4"]["broadcast_max_gather"] == max(rec["broadcast_gather_rows"])
+
+
+@pytest.mark.parametrize("m", [2, 8])
+def test_routed_csr_gathers_scale_inverse_m(m):
+    """The ragged wire shape (lookup_csr routed=True) shows the same
+    per-shard HLO signature: table gathers at ~cf*E/M, nothing at E."""
+    rec = audit(m, e_total=E_TOTAL)
+    assert max(rec["routed_csr_gather_rows"]) == rec["expected_routed_rows"]
+    assert E_TOTAL not in rec["routed_csr_gather_rows"]

@@ -100,6 +100,20 @@ def audit(m: int, *, e_total: int = 1024, rows: int = 4096,
         .compile()
         .as_text()
     )
+    # the ragged wire shape rides the same routing core (r4): audit it too
+    offsets = jnp.asarray(
+        np.tile(np.arange(c + 1, dtype=np.int32), (num_tables, 1))
+    )  # single-entry bags: B == C, E unchanged
+    csr_txt = (
+        jax.jit(
+            lambda f, i, o: coll.lookup_csr(
+                f, i, o, routed=True, capacity_factor=cf
+            )
+        )
+        .lower(fused, idx, offsets)
+        .compile()
+        .as_text()
+    )
     em = -(-e_total // m)
     k = min(em, max(8, -(-int(cf * em) // m)))
     return {
@@ -108,6 +122,7 @@ def audit(m: int, *, e_total: int = 1024, rows: int = 4096,
         "cf": cf,
         "expected_routed_rows": m * k,  # = cf-bucketed ~cf*E/M
         "routed_gather_rows": sorted(set(gather_out_rows(routed_txt))),
+        "routed_csr_gather_rows": sorted(set(gather_out_rows(csr_txt))),
         "broadcast_gather_rows": sorted(set(gather_out_rows(bcast_txt))),
     }
 
@@ -127,6 +142,7 @@ def main() -> None:
         str(r["m"]): {
             "expected_routed(me*k~cf*E/M)": r["expected_routed_rows"],
             "routed_max_gather": max(r["routed_gather_rows"]),
+            "routed_csr_max_gather": max(r["routed_csr_gather_rows"]),
             "broadcast_max_gather": max(r["broadcast_gather_rows"]),
             "e_total": r["e_total"],
         }
