@@ -1,6 +1,7 @@
 """Model layer: DLRM (dense MLPs + dot interaction over sharded embeddings)."""
 
 from .dlrm import DLRM, bce_loss, interact_dot
+from .quantize import quantize_dlrm_embeddings
 from .train import (
     TrainReport,
     binary_accuracy,
@@ -12,6 +13,7 @@ from .train import (
 )
 
 __all__ = [
+    "quantize_dlrm_embeddings",
     "DLRM",
     "bce_loss",
     "interact_dot",

@@ -191,6 +191,27 @@ class EmbeddingCollection:
         fused = self.fused_host_array(host_tables)
         return jax.device_put(jnp.asarray(fused), self.table_sharding)
 
+    def unfuse_host(self, fused) -> list[np.ndarray]:
+        """Inverse of fused_host_array: fused storage (device array or
+        numpy, [storage_rows, storage_width]) -> per-table [rows, dim]
+        numpy weights in original table order, undoing lane packing and
+        ROW_HASH striding.  The model-export path (trained fused table ->
+        per-table weights for quantize-for-serving or external tooling)."""
+        lay = self.layout
+        arr = np.asarray(fused).reshape(-1, lay.dim)  # [total_rows, dim]
+        if lay.policy == ShardingPolicy.ROW_HASH:
+            m, rps = lay.num_shards, lay.rows_per_shard
+            perm = (
+                np.arange(rps)[None, :] * m + np.arange(m)[:, None]
+            ).reshape(-1)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            arr = arr[inv]
+        return [
+            arr[off : off + rows]
+            for off, rows in zip(lay.row_offsets, lay.table_rows)
+        ]
+
     # -- query globalization ------------------------------------------------
 
     def globalize(self, indices: jax.Array) -> jax.Array:

@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--duration", type=float, default=10.0, help="seconds")
     ap.add_argument("--hybrid", action="store_true",
                     help="MXU small-table + lane-packed gather collection")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "int8"],
+                    help="int8 = quantize the (hybrid: big-set) embeddings "
+                         "for serving (models/quantize.py) — the capacity "
+                         "mode's latency-under-load")
     ap.add_argument("--pool", type=int, default=32,
                     help="distinct pre-generated request payloads (each "
                          "arrival takes the next one; streams never repeat "
@@ -122,6 +127,11 @@ def main():
     params = model.init(jax.random.PRNGKey(args.seed))
     jax.block_until_ready(params["emb"])
     coll = model.collection
+    if args.dtype == "int8":
+        from pim_embedding_lookup_tpu.models import quantize_dlrm_embeddings
+
+        coll, params = quantize_dlrm_embeddings(model, params)
+        jax.block_until_ready(params["emb"])
     hybrid = isinstance(coll, HybridEmbeddingCollection)
     routed = args.routed and jax.device_count() > 1 and policy != ShardingPolicy.REPLICATE
 
@@ -344,6 +354,7 @@ def main():
         "microbatch": mb,
         "dispatches": n_disp,
         "batch": b,
+        "dtype": args.dtype,
         "payload": "canned-staged" if canned is not None else "real-concat",
         "buckets": buckets,
         "bucket_compile_s": compile_s,
