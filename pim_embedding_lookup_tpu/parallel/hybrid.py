@@ -419,6 +419,73 @@ def sparse_update_hybrid(
     return params, accs
 
 
+def sparse_update_hybrid_csr(
+    coll: HybridEmbeddingCollection,
+    params: dict,
+    accs: dict,
+    indices: jax.Array,  # [T, C] flat local ids ([T, Nd*Cd] data_sharded)
+    offsets: jax.Array,  # [T, B+1] ([T, Nd*(Bd+1)] data_sharded)
+    g_pooled: jax.Array,  # [B, T, D] in original table order
+    *,
+    lr: float,
+    optimizer: str = "sgd",
+    eps: float = 1e-8,
+    routed: bool = False,
+    data_sharded: bool = False,
+    capacity_factor: float | None = None,
+    return_stats: bool = False,
+):
+    """CSR (ragged-bag) optimizer step on the hybrid surface — the backward
+    of lookup_csr for the reference's native wire shape (emb_host.h:234):
+    small set takes the bucketed-MXU densified step with segment-gathered
+    bag cotangents, big set the (optionally routed) CSR scatter update
+    (parallel/sparse_update.sparse_update_csr)."""
+    from .sparse_update import sparse_update_csr
+
+    if coll.big is not None and coll._big_quantized:
+        raise ValueError(
+            "sparse_update_hybrid_csr: int8 big set is inference-only"
+        )
+    nd = coll.mesh.shape[DATA_AXIS] if data_sharded else 1
+    params, accs = dict(params), dict(accs)
+    dropped = jnp.zeros((), jnp.int32)
+    if coll.small is not None:
+        sel = jnp.asarray(coll.small_ids, dtype=jnp.int32)
+        params["small"], accs["small"] = _mxu_sparse_update_csr(
+            coll.buckets,
+            params["small"],
+            accs["small"],
+            jnp.take(indices, sel, axis=0),
+            jnp.take(offsets, sel, axis=0),
+            jnp.take(g_pooled, sel, axis=1),
+            lr=lr,
+            optimizer=optimizer,
+            eps=eps,
+            data_shards=nd,
+        )
+    if coll.big is not None:
+        sel = jnp.asarray(coll.big_ids, dtype=jnp.int32)
+        out = sparse_update_csr(
+            coll.big,
+            params["big"],
+            accs["big"],
+            jnp.take(indices, sel, axis=0),
+            jnp.take(offsets, sel, axis=0),
+            jnp.take(g_pooled, sel, axis=1),
+            lr=lr,
+            optimizer=optimizer,
+            eps=eps,
+            routed=routed,
+            data_sharded=data_sharded,
+            capacity_factor=capacity_factor,
+            return_stats=True,
+        )
+        params["big"], accs["big"], dropped = out
+    if return_stats:
+        return params, accs, dropped
+    return params, accs
+
+
 # -- bucketed MXU kernels ----------------------------------------------------
 
 
@@ -563,7 +630,59 @@ def _mxu_sparse_update(
     g_e = jnp.transpose(g_pooled, (1, 0, 2))[:, :, None, :]  # [Ts, B, 1, D]
     g_e = jnp.broadcast_to(g_e, (t, b, l, d)).reshape(t, c, d)
     g_e = g_e * mask[..., None].astype(g_e.dtype)
+    return _mxu_apply_entries(
+        buckets, fused, acc, indices, mask, g_e,
+        lr=lr, optimizer=optimizer, eps=eps,
+    )
 
+
+def _mxu_sparse_update_csr(
+    buckets,
+    fused: jax.Array,
+    acc: jax.Array,
+    indices: jax.Array,  # [Ts, C] flat ids (small-set order)
+    offsets: jax.Array,  # [Ts, Nd*(Bd+1)] bag offsets
+    g_pooled: jax.Array,  # [B, Ts, D]
+    *,
+    lr: float,
+    optimizer: str,
+    eps: float,
+    data_shards: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """CSR variant of _mxu_sparse_update: variable-length bag cotangents
+    by segment-gather from the offsets (same wire contract as
+    _mxu_csr_lookup, incl. the data-sharded per-window form)."""
+    from ..ops.ragged import segment_ids_from_offsets
+
+    t, c = indices.shape
+    nd = data_shards
+    bd = offsets.shape[1] // nd - 1
+    b = nd * bd
+    cd = c // nd
+    d = g_pooled.shape[-1]
+
+    seg = jax.vmap(jax.vmap(
+        lambda o: segment_ids_from_offsets(o, cd)
+    ))(offsets.reshape(t, nd, bd + 1))  # [Ts, Nd, Cd] in [0..Bd]
+    shard_base = jnp.arange(nd, dtype=seg.dtype)[None, :, None] * bd
+    seg = jnp.where(seg >= bd, b, seg + shard_base).reshape(t, c)
+    valid = seg < b
+    g_t = jnp.transpose(g_pooled, (1, 0, 2))  # [Ts, B, D]
+    g_e = jnp.take_along_axis(
+        g_t, jnp.minimum(seg, b - 1)[..., None].astype(jnp.int32), axis=1
+    )  # [Ts, C, D]
+    g_e = g_e * valid[..., None].astype(g_e.dtype)
+    return _mxu_apply_entries(
+        buckets, fused, acc, indices, valid, g_e,
+        lr=lr, optimizer=optimizer, eps=eps,
+    )
+
+
+def _mxu_apply_entries(buckets, fused, acc, indices, mask, g_e, *,
+                       lr, optimizer, eps):
+    """Shared bucketed-MXU step over a per-entry cotangent stream
+    (indices/mask [Ts, C], g_e [Ts, C, D])."""
+    d = g_e.shape[-1]
     new_fused, new_acc = fused, acc
     adagrad = optimizer == "row_adagrad"
     for start, npad, lo, hi in buckets:

@@ -216,3 +216,67 @@ def test_data_sharded_csr_update(mesh):
     np.testing.assert_allclose(
         np.asarray(f_ds), np.asarray(f_rep), rtol=1e-5, atol=1e-6
     )
+
+
+def test_hybrid_csr_update(mesh):
+    """sparse_update_hybrid_csr: bucketed-MXU small set + (routed) big-set
+    CSR scatter, parity vs a numpy SGD oracle on variable-length bags."""
+    from pim_embedding_lookup_tpu.parallel.hybrid import (
+        HybridEmbeddingCollection,
+        init_accumulator_hybrid,
+        sparse_update_hybrid_csr,
+    )
+
+    tables = (
+        TableConfig(num_rows=50, dim=16, name="tiny"),
+        TableConfig(num_rows=30_000, dim=16, name="big1"),
+        TableConfig(num_rows=200, dim=16, name="small"),
+    )
+    rng = np.random.default_rng(17)
+    coll = HybridEmbeddingCollection.create(
+        tables, mesh, ShardingPolicy.ROW_HASH, mxu_threshold=1000
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in tables
+    ]
+    b, cap = 12, 12 * 6
+    bags = [
+        [
+            rng.integers(0, t.num_rows, size=rng.integers(0, 6))
+            .astype(int).tolist()
+            for _ in range(b)
+        ]
+        for t in tables
+    ]
+    idxs, offs = [], []
+    for tb in bags:
+        i, o = pack_bags(tb, capacity=cap)
+        i[o[-1]:] = 3  # poison padding
+        idxs.append(i)
+        offs.append(o)
+    idx = jnp.asarray(np.stack(idxs))
+    off = jnp.asarray(np.stack(offs))
+    g = rng.standard_normal((b, len(tables), 16)).astype(np.float32)
+
+    for routed in (False, True):
+        params = coll.device_put_tables(tables_np)
+        new_p, _, drops = sparse_update_hybrid_csr(
+            coll, params, init_accumulator_hybrid(coll), idx, off,
+            jnp.asarray(g), lr=0.05, routed=routed, return_stats=True,
+        )
+        assert int(drops) == 0
+        want = sgd_oracle(tables_np, bags, g, 0.05)
+        # small set: unfuse the bucket-padded replicated array
+        got_small = coll.small.unfuse_host(new_p["small"])
+        for pos, ti in enumerate(coll.small_ids):
+            np.testing.assert_allclose(
+                got_small[pos], want[ti], rtol=1e-4, atol=1e-5,
+                err_msg=f"small table {ti} routed={routed}",
+            )
+        got_big = coll.big.unfuse_host(new_p["big"])
+        for pos, ti in enumerate(coll.big_ids):
+            np.testing.assert_allclose(
+                got_big[pos], want[ti], rtol=1e-4, atol=1e-5,
+                err_msg=f"big table {ti} routed={routed}",
+            )
