@@ -32,6 +32,8 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
     The returned params dict mirrors the input ({"emb": ..., dense keys
     unchanged}) so model.apply_from_pooled works verbatim.
     """
+    from ..config import ShardingPolicy
+
     coll = model.collection
     out = dict(params)
     if isinstance(coll, HybridEmbeddingCollection):
@@ -39,6 +41,12 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
             return coll, out  # nothing to quantize
         if isinstance(coll.big, QuantizedEmbeddingCollection):
             return coll, out  # already the serving layout
+        if coll.big.layout.policy == ShardingPolicy.COLUMN:
+            raise ValueError(
+                "quantize_dlrm_embeddings: COLUMN sharding would split "
+                "per-row scales — retrain/re-shard rowish or REPLICATE for "
+                "int8 serving"
+            )
         big_tables = coll.big.unfuse_host(params["emb"]["big"])
         # same FusedLayout: identical policy/pack/offsets/striding, so the
         # int8 storage is a drop-in for the f32 fused array
@@ -60,8 +68,6 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
             "big": qbig.quantize_tables(big_tables),
         }
         return serve_coll, out
-    from ..config import ShardingPolicy
-
     if coll.layout.policy == ShardingPolicy.COLUMN:
         raise ValueError(
             "quantize_dlrm_embeddings: COLUMN sharding would split per-row "

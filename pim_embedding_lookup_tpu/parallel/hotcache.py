@@ -32,7 +32,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import ShardingPolicy
-from .collection import EmbeddingCollection, _gather_f32, _owner_local
+from .collection import EmbeddingCollection, _gather_f32, _owner_local, _tspec
 from .mesh import MODEL_AXIS
 
 
@@ -50,9 +50,14 @@ def hot_ids_from_sample(
 
 
 def build_hot_cache(
-    coll: EmbeddingCollection, fused: jax.Array, hot_ids: np.ndarray
+    coll, fused, hot_ids: np.ndarray
 ) -> tuple[jax.Array, jax.Array]:
-    """(hot_ids [K] sorted, hot_rows [K, D] f32) — both replicated."""
+    """(hot_ids [K] sorted, hot_rows [K, D] f32) — both replicated.
+
+    ``coll`` may be an EmbeddingCollection or a QuantizedEmbeddingCollection
+    (``fused`` then is the {"q", "scale"} dict): _gather_f32 dequantizes in
+    the gather, so the cache always holds f32 rows and cache hits bypass
+    the int8 path entirely."""
     lay = coll.layout
     ids = jnp.asarray(np.sort(np.asarray(hot_ids)).astype(np.int32))
     strided = lay.policy == ShardingPolicy.ROW_HASH
@@ -80,7 +85,7 @@ def build_hot_cache(
     fn = shard_map(
         gather_shard,
         mesh=coll.mesh,
-        in_specs=(P(MODEL_AXIS, None), P()),
+        in_specs=(_tspec(fused, P(MODEL_AXIS, None), P(MODEL_AXIS)), P()),
         out_specs=P(),
     )
     rows = jax.jit(fn)(fused, ids)

@@ -355,3 +355,44 @@ def test_quantized_checkpoint_roundtrip(mesh, tmp_path):
             path, other.quantize_tables(tables_np),
             expect_meta=ckpt.collection_meta(other),
         )
+
+
+def test_quantized_hot_cache_routed(mesh):
+    """build_hot_cache on int8 dict storage (r4 review finding): rows
+    dequantize in the gather, hits bypass the int8 path, routed lookup
+    parity holds with the cache installed."""
+    from pim_embedding_lookup_tpu.parallel.hotcache import (
+        build_hot_cache, hot_ids_from_sample,
+    )
+
+    rng = np.random.default_rng(12)
+    coll = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+    )
+    tables_np = [
+        rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
+        for t in TABLES
+    ]
+    params = coll.quantize_tables(tables_np)
+    b, l = 16, 4
+    idx_np = np.stack(
+        [
+            np.minimum(rng.zipf(1.3, size=b * l) - 1, t.num_rows - 1)
+            for t in TABLES
+        ]
+    ).astype(np.int32)
+    idx = jnp.asarray(idx_np)
+    mask = jnp.ones((len(TABLES), b * l), bool)
+
+    hot_ids = hot_ids_from_sample(coll, idx_np, 32)
+    cache = build_hot_cache(coll, params, hot_ids)
+    assert cache[1].dtype == jnp.float32
+
+    got, dropped = coll.lookup_routed(
+        params, idx, mask, batch_size=b, hot_cache=cache, return_stats=True
+    )
+    assert int(dropped) == 0
+    want = coll.lookup(params, idx, mask, batch_size=b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )

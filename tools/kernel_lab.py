@@ -452,7 +452,10 @@ def main():
             seg = jnp.cumsum(newseg)
             rows = jax.ops.segment_sum(su, seg, num_segments=c)
             uid = jax.ops.segment_max(sid, seg, num_segments=c)
-            uid = jnp.where(uid <= 0, S_, uid)  # empty segments -> drop
+            # segment_max identity for int32 is iinfo.min — `uid < 0`
+            # keeps valid storage row 0 (a prior `<= 0` dropped the hottest
+            # zipf row's updates, biasing the dedup comparison)
+            uid = jnp.where(uid < 0, S_, uid)
             return tbl.at[uid].add(
                 rows, mode="drop", indices_are_sorted=True,
                 unique_indices=True,
@@ -525,7 +528,7 @@ def main():
             seg = jnp.cumsum(newseg)
             rows = jax.ops.segment_sum(su, seg, num_segments=c)
             uid = jax.ops.segment_max(sid, seg, num_segments=c)
-            uid = jnp.where(uid <= 0, S, uid)  # empty segments -> drop
+            uid = jnp.where(uid < 0, S, uid)  # empty segs (int32 min) -> drop
             return tbl.at[uid].add(
                 rows, mode="drop", indices_are_sorted=True, unique_indices=True
             )

@@ -45,7 +45,7 @@ def _force_cpu(n: int = 8) -> None:
 
 # `N` rows out of `gather(operand[R, ...])`: HLO prints
 #   %gather.7 = f32[N,1,16]{...} gather(%op, %idx), ...
-_GATHER_RE = re.compile(r"=\s*\w+\[(\d+)[,\]][^=]*?\bgather\(")
+_GATHER_RE = re.compile(r"=\s*\w+\[(\d+)[,\]][^=]*?(?<!all-)\bgather\(")
 
 
 def gather_out_rows(hlo_text: str) -> list[int]:
