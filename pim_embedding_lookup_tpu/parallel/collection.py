@@ -1022,8 +1022,20 @@ def _route_rows(table_shard, gs, vs, *, rows_per_shard, pack, cf, m, strided,
 
     rows = _gather_f32(
         table_shard, jnp.minimum(recv, rows_per_shard - 1), pack
-    )  # [M*K, D]
+    )  # [M*K, D] f32
     rows = rows * (recv < rows_per_shard)[:, None].astype(rows.dtype)
+    # Return-trip wire dtype: bf16-stored rows are EXACT in bf16 (gather +
+    # one-hot lane select never accumulate — each output element is one
+    # stored value or zero), so riding the return all_to_all at storage
+    # precision halves its ICI bytes with bit-identical results; f32 and
+    # int8-dict storage (scale product is not bf16-exact) stay f32.
+    wire_dtype = (
+        jnp.bfloat16
+        if not isinstance(table_shard, dict)
+        and table_shard.dtype == jnp.bfloat16
+        else rows.dtype
+    )
+    rows = rows.astype(wire_dtype)
 
     # return trip: back[o, kk] = row my slot (o, kk) asked owner o for
     d = rows.shape[-1]
@@ -1033,7 +1045,7 @@ def _route_rows(table_shard, gs, vs, *, rows_per_shard, pack, cf, m, strided,
     zero_row = jnp.zeros((1, d), back.dtype)
     rows_e = jnp.take(
         jnp.concatenate([back, zero_row]), jnp.minimum(slot, m * k), axis=0
-    )  # [Em, D]; dropped/invalid entries -> 0
+    ).astype(jnp.float32)  # [Em, D]; dropped/invalid entries -> 0
     if hot_e is not None:
         rows_e = rows_e + hot_e.astype(rows_e.dtype)
     return rows_e, dropped
