@@ -372,10 +372,17 @@ class EmbeddingCollection:
         even if every entry in a device's slice is owned by one shard (the
         worst case — contiguous ROW ownership skew, or a zipf stream whose
         duplicates of one hot id all hash to one owner), nothing overflows.
-        This is the API default.  Lower cf trades all_to_all volume and
-        destination gather count (the whole point of routing: ~cf*E/M
-        issues per shard instead of E) against a drop risk — callers that
-        lower it should monitor ``return_stats=True`` drop counters.
+        This is the API default.
+
+        BE EXPLICIT about what the default buys: exactness, not issue-rate
+        scaling.  At cf = M the buckets are worst-case sized, so each shard
+        still processes ~E slots (mostly empty sentinels — but gather cost
+        is per-ISSUE, docs/PERF.md).  The ~cf*E/M per-shard issue reduction
+        — the point of routing, pinned in compiled HLO by
+        tools/routed_hlo_audit.py — belongs to the EXPLICIT low-cf mode
+        (e.g. cf=2 under ROW_HASH, where distinct ids spread ~uniformly):
+        production multi-chip serving runs low cf + hot-row cache (which
+        removes the hot-duplicate overflow pressure) + drop counters.
         """
         return float(self.layout.num_shards)
 
