@@ -158,4 +158,54 @@ int64_t pel_parse_criteo(const char* path, int64_t max_rows, int64_t hash_mod,
   return row;
 }
 
+// CSR wire packer: per-table concatenated bag values + per-bag lengths ->
+// the data-sharded fixed-capacity wire buffers of
+// EmbeddingCollection.lookup_csr(data_sharded=True) (the serving payload
+// assembly the host runtime owns — ops/ragged.shard_csr's contract, at
+// native speed, threaded over tables).
+//
+//   values        [sum of all lens] int32, concatenated table-major then
+//                 bag-major (table t's bags are values[voff[t]..voff[t+1]))
+//   voff          [T+1] int64 offsets into values per table
+//   lens          [T*B] int32 bag lengths, row-major [T][B]
+//   out_idx       [T * nd*cap] int32   (padded with pad_index)
+//   out_off       [T * nd*(bd+1)] int32 (window-local offsets)
+//
+// B must be divisible by nd.  Returns 0, or -1 if any (table, shard)
+// window's entries exceed cap (nothing partial is written for that window).
+int pel_pack_csr(const int32_t* values, const int64_t* voff,
+                 const int32_t* lens, int64_t t_cnt, int64_t b,
+                 int64_t nd, int64_t cap, int32_t pad_index,
+                 int32_t* out_idx, int32_t* out_off, int nthreads) {
+  if (nd <= 0 || b % nd) return -1;
+  const int64_t bd = b / nd;
+  std::vector<int> rc(static_cast<size_t>(t_cnt), 0);
+  parallel_for(t_cnt, nthreads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t t = lo; t < hi; ++t) {
+      const int32_t* lt = lens + t * b;
+      const int32_t* vt = values + voff[t];
+      int64_t vpos = 0;
+      for (int64_t d = 0; d < nd; ++d) {
+        int32_t* idx_w = out_idx + (t * nd + d) * cap;
+        int32_t* off_w = out_off + t * nd * (bd + 1) + d * (bd + 1);
+        int64_t fill = 0;
+        off_w[0] = 0;
+        for (int64_t j = 0; j < bd; ++j) {
+          const int64_t n = lt[d * bd + j];
+          if (fill + n > cap) { rc[t] = -1; break; }
+          std::memcpy(idx_w + fill, vt + vpos, n * sizeof(int32_t));
+          fill += n;
+          vpos += n;
+          off_w[j + 1] = static_cast<int32_t>(fill);
+        }
+        if (rc[t]) break;
+        for (int64_t p = fill; p < cap; ++p) idx_w[p] = pad_index;
+      }
+    }
+  });
+  for (int64_t t = 0; t < t_cnt; ++t)
+    if (rc[t]) return -1;
+  return 0;
+}
+
 }  // extern "C"

@@ -52,6 +52,14 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.pel_parse_criteo.restype = ctypes.c_int64
+        lib.pel_pack_csr.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.pel_pack_csr.restype = ctypes.c_int
         _LIB = lib
         return lib
     _LIB = False
@@ -118,3 +126,39 @@ def parse_criteo_raw(
     if n < 0:
         raise FileNotFoundError(path)
     return labels[:n], dense[:n], cat[:n]
+
+
+def pack_csr(
+    values: np.ndarray,  # concatenated bag values, table-major (int32)
+    voff: np.ndarray,  # [T+1] int64 per-table offsets into values
+    lens: np.ndarray,  # [T, B] int32 bag lengths
+    *,
+    num_shards: int,
+    capacity_per_shard: int,
+    pad_index: int = 0,
+    nthreads: int = 0,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native CSR wire packer (the serving payload assembly the reference
+    keeps in its C host runtime): -> (indices [T, Nd*Cd], offsets
+    [T, Nd*(Bd+1)]) in the data-sharded lookup_csr contract, or None if
+    the library is unavailable (use ops.ragged.shard_csr).  Raises on
+    window overflow (fixed capacity is the wire contract)."""
+    lib = _load()
+    if not lib:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.int32)
+    voff = np.ascontiguousarray(voff, dtype=np.int64)
+    t, b = lens.shape
+    idx = np.empty((t, num_shards * capacity_per_shard), np.int32)
+    off = np.empty((t, num_shards * (b // num_shards + 1)), np.int32)
+    rc = lib.pel_pack_csr(
+        _i32p(values), voff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(lens), t, b, num_shards, capacity_per_shard, pad_index,
+        _i32p(idx), _i32p(off), nthreads or (os.cpu_count() or 1),
+    )
+    if rc != 0:
+        raise ValueError(
+            f"pack_csr: a shard window exceeds capacity {capacity_per_shard}"
+        )
+    return idx, off

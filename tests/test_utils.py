@@ -205,3 +205,43 @@ def test_device_prefetch_propagates_errors():
     next(it)
     with pytest.raises(ValueError, match="boom"):
         list(it)
+
+
+def test_native_pack_csr_matches_shard_csr():
+    """Native CSR wire packer == ops.ragged.shard_csr on random ragged bags
+    (incl. empty bags and full windows); overflow raises."""
+    from pim_embedding_lookup_tpu.ops.ragged import shard_csr
+    from pim_embedding_lookup_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native feeder not built")
+    rng = np.random.default_rng(4)
+    t, b, nd, cap = 3, 12, 2, 24
+    bags = [
+        [
+            rng.integers(0, 500, size=rng.integers(0, 5)).astype(int).tolist()
+            for _ in range(b)
+        ]
+        for _ in range(t)
+    ]
+    want_idx, want_off = shard_csr(bags, nd, cap, pad_index=7)
+
+    lens = np.asarray(
+        [[len(bag) for bag in tb] for tb in bags], dtype=np.int32
+    )
+    flat = [i for tb in bags for bag in tb for i in bag]
+    values = np.asarray(flat, dtype=np.int32)
+    voff = np.zeros(t + 1, np.int64)
+    np.cumsum(lens.sum(axis=1), out=voff[1:])
+    got = native.pack_csr(
+        values, voff, lens, num_shards=nd, capacity_per_shard=cap,
+        pad_index=7,
+    )
+    assert got is not None
+    np.testing.assert_array_equal(got[0], want_idx)
+    np.testing.assert_array_equal(got[1], want_off)
+
+    with pytest.raises(ValueError, match="exceeds capacity"):
+        native.pack_csr(
+            values, voff, lens, num_shards=nd, capacity_per_shard=2,
+        )
