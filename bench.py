@@ -33,7 +33,7 @@ def log(*a):
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
                     dtype="float32", packed="auto", quantized=False,
-                    mxu_threshold=None):
+                    mxu_threshold=None, wire="dense"):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -121,6 +121,20 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
+    if wire == "csr":
+        # the reference's native indices+offsets wire shape (emb_host.h:234)
+        # at the same workload: offsets encode fixed-L bags, the engine
+        # sees the generic ragged path (segment ids + segment reduce)
+        offsets = jnp.asarray(
+            np.tile(
+                np.arange(batch + 1, dtype=np.int32) * pooling,
+                (len(tables), 1),
+            )
+        )
+        def lookup_fn(p, i, m):  # noqa: F811 — wire override
+            del m
+            return coll.lookup_csr(p, i, offsets)
+
     jax.block_until_ready(params)
 
     rng = np.random.default_rng(seed)
@@ -259,6 +273,9 @@ def main():
     ap.add_argument("--mxu-threshold", type=int, default=0,
                     help="override the hybrid small-table row threshold "
                          "(0 = library default)")
+    ap.add_argument("--wire", default="dense", choices=["dense", "csr"],
+                    help="query wire shape: dense padded [T,B*L] or the "
+                         "reference's CSR indices+offsets (emb_host.h:234)")
     ap.add_argument("--tables-filter", default="",
                     choices=["", "small", "big"],
                     help="bench only the tables below/above the MXU "
@@ -299,7 +316,7 @@ def main():
         tables, args.batch, args.pooling, args.iters,
         hybrid=not args.no_hybrid, dtype=args.dtype,
         packed=False if args.no_packed else "auto",
-        mxu_threshold=args.mxu_threshold,
+        mxu_threshold=args.mxu_threshold, wire=args.wire,
     )
 
     vs_baseline = None
