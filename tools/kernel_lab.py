@@ -227,6 +227,68 @@ def main():
         report("csrseg fixed-L reshape", igtimer(
             fixedl_pool, table, flat_idx, rotate, args.iters))
 
+    if want("csrnarrow") and 128 % d == 0 and d < 128:
+        # Narrow-dim CSR reduce (r4): at dim 16 the CSR path costs 2.2x over
+        # dense (bench --wire csr) while dim-64 costs 1.16x.  Candidates for
+        # the packed-storage [S, 128] ragged pool at single-hot:
+        #   narrow  (prod)  one-hot lane-select einsum -> [c, d] segsum
+        #   wide            lane-mask multiply -> [c, 128] segsum -> fold
+        #                   (scatter rows pad to 128 lanes internally, so
+        #                   the wide reduce moves the same physical bytes
+        #                   but does useful work in every lane)
+        pack_n = 128 // d
+        S_n = ((n + pack_n - 1) // pack_n * pack_n) // pack_n
+        tpn = jax.jit(
+            lambda k: jax.random.uniform(k, (S_n, 128), jnp.float32, -0.1, 0.1)
+        )(key)
+        jax.block_until_ready(tpn)
+        bags_n = c  # single-hot
+        from pim_embedding_lookup_tpu.ops.ragged import (
+            segment_ids_from_offsets as _sio,
+        )
+
+        offs_n = jnp.arange(bags_n + 1, dtype=jnp.int32)
+
+        def narrow(t, i):
+            wide = jnp.take(t, i // pack_n, axis=0)  # [c, 128]
+            g = jax.nn.one_hot(i % pack_n, pack_n, dtype=wide.dtype)
+            rows = jnp.einsum(
+                "cpd,cp->cd", wide.reshape(c, pack_n, d), g,
+                preferred_element_type=jnp.float32,
+            )
+            seg = _sio(offs_n, c)
+            return jax.ops.segment_sum(
+                rows, seg, num_segments=bags_n + 1, indices_are_sorted=True
+            )[:bags_n]
+
+        report("csrnarrow einsum+narrow-seg", igtimer(
+            narrow, tpn, flat_idx, rotate, args.iters))
+
+        def wide_fold(t, i):
+            wide = jnp.take(t, i // pack_n, axis=0)  # [c, 128]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (c, 128), 1)
+            mask = (lane // d) == (i % pack_n)[:, None]
+            masked = wide * mask.astype(wide.dtype)
+            seg = _sio(offs_n, c)
+            pooled = jax.ops.segment_sum(
+                masked, seg, num_segments=bags_n + 1, indices_are_sorted=True
+            )[:bags_n]
+            return pooled.reshape(bags_n, pack_n, d).sum(axis=1)
+
+        report("csrnarrow mask+wide-seg+fold", igtimer(
+            wide_fold, tpn, flat_idx, rotate, args.iters))
+
+        def dense_floor(t, i):
+            wide = jnp.take(t, i // pack_n, axis=0)
+            g = jax.nn.one_hot(i % pack_n, pack_n, dtype=wide.dtype)
+            return jnp.einsum(
+                "cpd,cp->cd", wide.reshape(c, pack_n, d), g,
+                preferred_element_type=jnp.float32,
+            )  # single-hot dense: pooled == rows
+
+        report("csrnarrow dense single-hot", igtimer(
+            dense_floor, tpn, flat_idx, rotate, args.iters))
+
     if want("dedupk"):
         # Gather-side K-capacity sorted-unique dedup (VERDICT r3 item 5):
         # sort the c ids, rank each entry by its unique id, compress the
