@@ -23,7 +23,9 @@ from ..parallel.hybrid import HybridEmbeddingCollection
 from ..parallel.quantized_collection import QuantizedEmbeddingCollection
 
 
-def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
+def quantize_dlrm_embeddings(
+    model, params, *, scale_mode: str = "table"
+) -> tuple[object, dict]:
     """(model, trained params) -> (serving collection, serving params).
 
     Plain collection -> QuantizedEmbeddingCollection (all tables int8).
@@ -31,6 +33,11 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
     set keeps its trained f32 weights, the big set re-fuses as int8+scale.
     The returned params dict mirrors the input ({"emb": ..., dense keys
     unchanged}) so model.apply_from_pooled works verbatim.
+
+    ``scale_mode``: "table" (default — per-table scale folded post-pool,
+    one gather issue/entry) or "row" (per-row scales, finer quantization
+    of trained tables at 2x gather issues; measured accuracy delta is
+    reported in docs/PERF.md and tests/test_quantize_serving.py).
     """
     from ..config import ShardingPolicy
 
@@ -51,7 +58,7 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
         # same FusedLayout: identical policy/pack/offsets/striding, so the
         # int8 storage is a drop-in for the f32 fused array
         qbig = QuantizedEmbeddingCollection(
-            layout=coll.big.layout, mesh=coll.mesh
+            layout=coll.big.layout, mesh=coll.mesh, scale_mode=scale_mode
         )
         serve_coll = HybridEmbeddingCollection(
             tables=coll.tables,
@@ -74,6 +81,8 @@ def quantize_dlrm_embeddings(model, params) -> tuple[object, dict]:
             "scales — retrain/re-shard rowish or REPLICATE for int8 serving"
         )
     tables = coll.unfuse_host(params["emb"])
-    qcoll = QuantizedEmbeddingCollection(layout=coll.layout, mesh=coll.mesh)
+    qcoll = QuantizedEmbeddingCollection(
+        layout=coll.layout, mesh=coll.mesh, scale_mode=scale_mode
+    )
     out["emb"] = qcoll.quantize_tables(tables)
     return qcoll, out

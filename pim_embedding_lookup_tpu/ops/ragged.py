@@ -11,6 +11,7 @@ are padding and contribute nothing.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Sequence
 
 import jax
@@ -117,3 +118,173 @@ def shard_csr(
             indices[ti, d * capacity_per_shard : (d + 1) * capacity_per_shard] = idx
             offsets[ti, d * (bd + 1) : (d + 1) * (bd + 1)] = off
     return indices, offsets
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed CSR: host-side re-wiring of ragged bags into a few
+# fixed-L dense dispatches + a residual CSR tail.
+#
+# The CSR segment reduce pays a "raggedness tax" that is worst at narrow
+# dims (measured 2.2x over the dense fixed-L form at the reference's
+# canonical dim-16 shape — docs/PERF.md).  The reference itself answers
+# raggedness by PADDING every bag to MAX_INDICES_PER_BATCH on the host
+# (emb_host.h:30,262): its wire is effectively fixed-L.  This module does
+# the shape-adaptive version of that: bags are grouped by length into a
+# small set of fixed-L buckets (each dispatched through the measured-fast
+# dense kernel), bags longer than the largest bucket ride the generic CSR
+# path, and pooled results scatter back to their batch positions.  All
+# shapes are STATIC per plan, so one compile serves every batch with the
+# same plan — the planner pads capacities with slack for batch-to-batch
+# length variation and the packer spills overflow to larger buckets/tail.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LengthBucketPlan:
+    """Static shape plan for bucketed CSR dispatch (host-side).
+
+    ``bucket_ls``: ascending fixed pooling widths; a bag of length l packs
+    into the first bucket with L >= l (padded+masked up to L).
+    ``capacities``: bags per bucket, shared across tables (per-table pad
+    slots carry a sentinel position and a zero mask).
+    ``tail_bags``/``tail_entries``: residual-CSR capacity for bags longer
+    than bucket_ls[-1] (0 = no tail dispatch).
+    """
+
+    batch: int
+    bucket_ls: tuple[int, ...]
+    capacities: tuple[int, ...]
+    tail_bags: int
+    tail_entries: int
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketedCSR:
+    """Packed device-ready arrays for one batch under a LengthBucketPlan.
+
+    Per bucket k: idx/mask [T, Bk*Lk], pos [T, Bk] (sentinel=batch for pad
+    slots).  Tail: per-table CSR (idx [T, tail_entries], off
+    [T, tail_bags+1]) + pos [T, tail_bags] (sentinel=batch).
+    """
+
+    plan: LengthBucketPlan
+    idx: tuple[np.ndarray, ...]
+    mask: tuple[np.ndarray, ...]
+    pos: tuple[np.ndarray, ...]
+    tail_idx: np.ndarray | None
+    tail_off: np.ndarray | None
+    tail_pos: np.ndarray | None
+
+
+def plan_length_buckets(
+    offsets: np.ndarray,  # [T, B+1] (a representative batch)
+    bucket_ls: Sequence[int] = (1, 2, 4, 8),
+    slack: float = 1.3,
+) -> LengthBucketPlan:
+    """Derive static bucket capacities from a representative batch.
+
+    Capacities take the max per-table count times ``slack`` (so plans
+    survive batch-to-batch variation without repacking overflow too
+    often), capped at the batch size.  Empty bags belong to no bucket
+    (they pool to zero by construction).
+    """
+    offsets = np.asarray(offsets)
+    lens = offsets[:, 1:] - offsets[:, :-1]  # [T, B]
+    b = lens.shape[1]
+    ls = tuple(sorted(int(l) for l in bucket_ls))
+    if not ls or ls[0] < 1:
+        raise ValueError(f"bucket_ls must be positive: {bucket_ls}")
+    caps = []
+    prev = 0
+    for l in ls:
+        count = ((lens > prev) & (lens <= l)).sum(axis=1).max()
+        caps.append(min(b, int(np.ceil(count * slack))) if count else 0)
+        prev = l
+    tail_sel = lens > ls[-1]
+    tail_bags = int(tail_sel.sum(axis=1).max())
+    tail_entries = int((lens * tail_sel).sum(axis=1).max())
+    if tail_bags:
+        tail_bags = min(b, int(np.ceil(tail_bags * slack)))
+        tail_entries = int(np.ceil(tail_entries * slack))
+    return LengthBucketPlan(
+        batch=b,
+        bucket_ls=ls,
+        capacities=tuple(caps),
+        tail_bags=tail_bags,
+        tail_entries=tail_entries,
+    )
+
+
+def pack_length_buckets(
+    indices: np.ndarray,  # [T, C] flat per-table ids
+    offsets: np.ndarray,  # [T, B+1]
+    plan: LengthBucketPlan,
+    pad_index: int = 0,
+) -> BucketedCSR:
+    """Pack one batch's CSR bags into the plan's fixed shapes.
+
+    A bag goes to the first bucket with L >= len and a free slot; full
+    buckets spill to the next larger bucket, then to the tail.  Raises
+    ValueError when the tail overflows — re-plan with more slack (the
+    caller can always fall back to plain lookup_csr for that batch).
+    """
+    indices = np.asarray(indices)
+    offsets = np.asarray(offsets)
+    t, b = offsets.shape[0], offsets.shape[1] - 1
+    if b != plan.batch:
+        raise ValueError(f"batch {b} != plan batch {plan.batch}")
+    ls, caps = plan.bucket_ls, plan.capacities
+    nk = len(ls)
+    idx = [np.full((t, caps[k] * ls[k]), pad_index, np.int32) for k in range(nk)]
+    mask = [np.zeros((t, caps[k] * ls[k]), bool) for k in range(nk)]
+    pos = [np.full((t, caps[k]), b, np.int32) for k in range(nk)]
+    has_tail = plan.tail_bags > 0
+    tail_idx = np.full((t, plan.tail_entries), pad_index, np.int32) if has_tail else None
+    tail_off = np.zeros((t, plan.tail_bags + 1), np.int32) if has_tail else None
+    tail_pos = np.full((t, plan.tail_bags), b, np.int32) if has_tail else None
+
+    for ti in range(t):
+        fill = [0] * nk
+        tfill = 0
+        tcursor = 0
+        for bi in range(b):
+            s, e = int(offsets[ti, bi]), int(offsets[ti, bi + 1])
+            l = e - s
+            if l == 0:
+                continue
+            placed = False
+            for k in range(nk):
+                if l <= ls[k] and fill[k] < caps[k]:
+                    j = fill[k]
+                    idx[k][ti, j * ls[k] : j * ls[k] + l] = indices[ti, s:e]
+                    mask[k][ti, j * ls[k] : j * ls[k] + l] = True
+                    pos[k][ti, j] = bi
+                    fill[k] += 1
+                    placed = True
+                    break
+            if placed:
+                continue
+            if not has_tail or tfill >= plan.tail_bags or (
+                tcursor + l > plan.tail_entries
+            ):
+                raise ValueError(
+                    f"bucket plan overflow (table {ti}, bag {bi}, len {l}) "
+                    "— re-plan with more slack or fall back to lookup_csr"
+                )
+            tail_idx[ti, tcursor : tcursor + l] = indices[ti, s:e]
+            tail_pos[ti, tfill] = bi
+            tcursor += l
+            tfill += 1
+            tail_off[ti, tfill] = tcursor
+        if has_tail:
+            tail_off[ti, tfill + 1 :] = tcursor
+
+    return BucketedCSR(
+        plan=plan,
+        idx=tuple(idx),
+        mask=tuple(mask),
+        pos=tuple(pos),
+        tail_idx=tail_idx,
+        tail_off=tail_off,
+        tail_pos=tail_pos,
+    )

@@ -756,15 +756,24 @@ def _gather_f32(table, ids, pack):
     pack rows' worth of lanes), then select lane group ids%pack with a
     one-hot contraction — f32 accumulation via preferred_element_type.
 
-    ``table`` may be int8 dict storage {"q": int8 [srows, width],
-    "scale": f32 [rows]} (QuantizedEmbeddingCollection): gather the int8
-    row AND its per-fused-row scale, dequantize to f32 — every lookup
-    variant (dense/CSR/routed, all policies) then works unchanged on int8
-    storage.  int8 in [-127, 127] is exact in bf16 (8 mantissa bits), so
-    the packed one-hot select rides the VPU in bf16 with f32 accumulation."""
+    ``table`` may be int8 dict storage (QuantizedEmbeddingCollection):
+      * {"q": int8 [srows, width], "scale": f32 [rows]} — per-ROW scale
+        mode: gather the int8 row AND its per-fused-row scale, dequantize
+        to f32.  The scale take is a SECOND gather issue per entry, which
+        doubles the issue-rate-bound cost (docs/PERF.md).
+      * {"q": int8 [srows, width]} — per-TABLE scale mode: no "scale" key;
+        rows come back in QUANTIZED units (f32 of the int8 codes) and the
+        caller folds the per-table scale into the pooled [B, T, D] output
+        (QuantizedEmbeddingCollection._apply_tscale) — zero per-entry
+        cost, matching the reference's decode-after-pooling
+        (emb_host.h:207-212 divides per POOLED value, not per entry).
+    Every lookup variant (dense/CSR/routed, all policies) works unchanged
+    on either form.  int8 in [-127, 127] is exact in bf16 (8 mantissa
+    bits), so the packed one-hot select rides the VPU in bf16 with f32
+    accumulation."""
     if isinstance(table, dict):
-        q, scale = table["q"], table["scale"]
-        s = jnp.take(scale, ids)  # [...] f32, per-FUSED-row
+        q = table["q"]
+        scale = table.get("scale")  # None => per-table mode (post-pool)
         if pack == 1:
             rows = jnp.take(q, ids, axis=0).astype(jnp.float32)
         else:
@@ -777,6 +786,9 @@ def _gather_f32(table, ids, pack):
                 g,
                 preferred_element_type=jnp.float32,
             )
+        if scale is None:
+            return rows
+        s = jnp.take(scale, ids)  # [...] f32, per-FUSED-row
         return rows * s[..., None]
     if pack == 1:
         return jnp.take(table, ids, axis=0).astype(jnp.float32)
@@ -836,17 +848,21 @@ def _scan_pooled(pool_fn, pooling, row_bytes, g_idx, mask):
 
 def _row_bytes(table, pack):
     del pack  # storage width already includes the pack factor
-    if isinstance(table, dict):  # int8 row + 4B scale per gathered entry
-        return table["q"].shape[-1] + 4
+    if isinstance(table, dict):  # int8 row (+4B per-row scale if present)
+        return table["q"].shape[-1] + (4 if "scale" in table else 0)
     return table.shape[-1] * table.dtype.itemsize
 
 
 def _tspec(table, row_spec, scale_spec):
     """shard_map in_spec for the table argument: a bare PartitionSpec for
     array storage, a matching pytree for int8 dict storage ({"q": rows x
-    width like the f32 table, "scale": 1-D per-fused-row})."""
+    width like the f32 table, "scale": 1-D per-fused-row when in per-row
+    scale mode — absent in per-table mode})."""
     if isinstance(table, dict):
-        return {"q": row_spec, "scale": scale_spec}
+        spec = {"q": row_spec}
+        if "scale" in table:
+            spec["scale"] = scale_spec
+        return spec
     return row_spec
 
 
@@ -1034,14 +1050,15 @@ def _route_rows(table_shard, gs, vs, *, rows_per_shard, pack, cf, m, strided,
     # Return-trip wire dtype: bf16-stored rows are EXACT in bf16 (gather +
     # one-hot lane select never accumulate — each output element is one
     # stored value or zero), so riding the return all_to_all at storage
-    # precision halves its ICI bytes with bit-identical results; f32 and
-    # int8-dict storage (scale product is not bf16-exact) stay f32.
-    wire_dtype = (
-        jnp.bfloat16
-        if not isinstance(table_shard, dict)
-        and table_shard.dtype == jnp.bfloat16
-        else rows.dtype
-    )
+    # precision halves its ICI bytes with bit-identical results.  The same
+    # holds for per-TABLE-scale int8 storage (no "scale" key): rows are raw
+    # int8 codes in [-127, 127], exact in bf16.  f32 storage and per-row
+    # int8 (scale product is not bf16-exact) stay f32.
+    if isinstance(table_shard, dict):
+        bf16_exact = "scale" not in table_shard
+    else:
+        bf16_exact = table_shard.dtype == jnp.bfloat16
+    wire_dtype = jnp.bfloat16 if bf16_exact else rows.dtype
     rows = rows.astype(wire_dtype)
 
     # return trip: back[o, kk] = row my slot (o, kk) asked owner o for

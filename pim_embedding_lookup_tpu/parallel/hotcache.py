@@ -55,9 +55,15 @@ def build_hot_cache(
     """(hot_ids [K] sorted, hot_rows [K, D] f32) — both replicated.
 
     ``coll`` may be an EmbeddingCollection or a QuantizedEmbeddingCollection
-    (``fused`` then is the {"q", "scale"} dict): _gather_f32 dequantizes in
-    the gather, so the cache always holds f32 rows and cache hits bypass
-    the int8 path entirely."""
+    (``fused`` then is its params dict).  Per-row scale mode ({"q",
+    "scale"}): _gather_f32 dequantizes in the gather, so the cache holds
+    true f32 rows.  Per-table mode ({"q", "tscale"}): the cache holds rows
+    in QUANTIZED units — the same units the routed gather returns — so
+    cache hits merge exactly and the per-table scale folds into the pooled
+    output downstream (QuantizedEmbeddingCollection._apply_tscale).  Either
+    way cache hits bypass the int8 gather entirely."""
+    if isinstance(fused, dict) and "tscale" in fused:
+        fused = {"q": fused["q"]}
     lay = coll.layout
     ids = jnp.asarray(np.sort(np.asarray(hot_ids)).astype(np.int32))
     strided = lay.policy == ShardingPolicy.ROW_HASH

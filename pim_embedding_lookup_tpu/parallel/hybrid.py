@@ -113,13 +113,16 @@ class HybridEmbeddingCollection:
         mxu_threshold: int = DEFAULT_MXU_THRESHOLD,
         packed: bool | str = "auto",
         quantized_big: bool = False,
+        int8_scale_mode: str = "table",
     ) -> "HybridEmbeddingCollection":
-        """``quantized_big``: store the big set as int8+per-row-scale
+        """``quantized_big``: store the big set as int8+scale
         (QuantizedEmbeddingCollection) — the natural pairing for the
         capacity regime the reference's 14MB MRAM slice forces
         (emb_types.h:5): the small set keeps exact MXU matmuls while the
         big set quarters its HBM bytes.  Inference-only (no sparse
-        updates into int8 rows)."""
+        updates into int8 rows).  ``int8_scale_mode``: "table" (per-table
+        scale folded in post-pool — one gather issue per entry, the fast
+        form) or "row" (per-row scales ride the gather — 2x issues)."""
         from .mesh import MODEL_AXIS
 
         small_raw = [
@@ -141,7 +144,8 @@ class HybridEmbeddingCollection:
 
             big = (
                 QuantizedEmbeddingCollection.create(
-                    [tables[i] for i in big_ids], mesh, policy, packed=packed
+                    [tables[i] for i in big_ids], mesh, policy,
+                    packed=packed, scale_mode=int8_scale_mode,
                 )
                 if big_ids
                 else None

@@ -10,12 +10,25 @@ the BASELINE.json 100M-row-table configs fit on a single chip (100M x 64
 per-entry scale gather makes this mode ~2x slower than bf16 — int8 is the
 CAPACITY mode, not the speed mode (docs/PERF.md).
 
-Storage: {"q": int8 [storage_rows, storage_width], "scale": f32
-[total_rows]} — scale is 1-D (a [N, 1] array would relayout
-catastrophically; docs/PERF.md rule 2).  Lane packing and ROW_HASH strided
-placement work exactly as in EmbeddingCollection.  Inference-only: int8
-rows cannot absorb gradient scatters (mirror of the reference, whose DPU
-path is inference-only — SURVEY.md §2b).
+Storage comes in two scale granularities (``scale_mode``):
+
+* ``"table"`` (default — the fast form): {"q": int8 [storage_rows,
+  storage_width], "tscale": f32 [T]}.  One symmetric scale per TABLE,
+  folded into the pooled [B, T, D] output AFTER pooling — zero per-entry
+  cost, so the gather pays exactly one issue per entry like f32/bf16
+  storage.  This matches the reference, which decodes per POOLED value
+  after its DPU hot loop (emb_host.h:207-212, one /1e9 per output), and
+  is strictly finer than the reference's single global scale.
+* ``"row"`` (the accuracy form): {"q": ..., "scale": f32 [total_rows]}.
+  Per-row symmetric scales adapt to per-row magnitude spread in trained
+  tables, but the scale rides the gather as a SECOND issue per entry —
+  measured ~2x the lookup cost (docs/PERF.md).
+
+Scales are 1-D (a [N, 1] array would relayout catastrophically;
+docs/PERF.md rule 2).  Lane packing and ROW_HASH strided placement work
+exactly as in EmbeddingCollection.  Inference-only: int8 rows cannot
+absorb gradient scatters (mirror of the reference, whose DPU path is
+inference-only — SURVEY.md §2b).
 """
 
 from __future__ import annotations
@@ -40,6 +53,7 @@ class QuantizedEmbeddingCollection:
 
     layout: FusedLayout
     mesh: Mesh
+    scale_mode: str = "table"  # "table" (fast) | "row" (per-row accuracy)
 
     @staticmethod
     def create(
@@ -48,14 +62,17 @@ class QuantizedEmbeddingCollection:
         policy: ShardingPolicy = ShardingPolicy.AUTO,
         *,
         packed: bool | str = "auto",
+        scale_mode: str = "table",
     ) -> "QuantizedEmbeddingCollection":
+        if scale_mode not in ("table", "row"):
+            raise ValueError(f"scale_mode must be 'table' or 'row': {scale_mode}")
         num_shards = mesh.shape[MODEL_AXIS]
         lay = plan(tables, num_shards, policy, packed)
         if lay.policy == ShardingPolicy.COLUMN:
             raise ValueError(
                 "int8 collection: COLUMN sharding would split per-row scales"
             )
-        return QuantizedEmbeddingCollection(lay, mesh)
+        return QuantizedEmbeddingCollection(lay, mesh, scale_mode)
 
     # -- shardings ------------------------------------------------------
 
@@ -80,8 +97,10 @@ class QuantizedEmbeddingCollection:
     def init(self, key: jax.Array) -> dict:
         """Random init straight in int8: u ~ U(-bound, bound) quantized with
         the analytically-known scale bound/127 is just uniform int8 in
-        [-127, 127]; the per-row scale comes from the table's row count
-        (same in-kernel searchsorted as EmbeddingCollection.init)."""
+        [-127, 127].  All rows of a table share the analytic scale
+        (1/sqrt(rows))/127, so "row" and "table" modes are numerically
+        IDENTICAL at init — they differ only on trained tables
+        (quantize_tables), where per-row absmax spread appears."""
         ends, inv = self._sorted_table_ends()
         lay = self.layout
         pack, dim, m = lay.pack, lay.dim, lay.num_shards
@@ -98,6 +117,14 @@ class QuantizedEmbeddingCollection:
                 k, (lay.storage_rows, lay.storage_width), -127, 128, jnp.int8
             )
 
+        q = jax.jit(make_q, out_shardings=self._q_sharding)(key)
+        if self.scale_mode == "table":
+            tscale = jnp.asarray(
+                [1.0 / (np.sqrt(r) * 127.0) for r in lay.table_rows],
+                dtype=jnp.float32,
+            )
+            return {"q": q, "tscale": tscale}
+
         def make_scale():
             # scale[fused row g] = (1/sqrt(rows(g)))/127, in storage order
             p = jnp.arange(lay.total_rows, dtype=jnp.int32)
@@ -110,7 +137,6 @@ class QuantizedEmbeddingCollection:
                 jnp.minimum(tid, len(lay.table_rows) - 1),
             ) / 127.0
 
-        q = jax.jit(make_q, out_shardings=self._q_sharding)(key)
         scale = jax.jit(make_scale, out_shardings=self._scale_sharding)()
         return {"q": q, "scale": scale}
 
@@ -126,13 +152,27 @@ class QuantizedEmbeddingCollection:
 
     def quantize_tables(self, host_tables: Sequence[np.ndarray]) -> dict:
         """Host f32 tables -> device int8+scale params (populate_mram parity
-        path with the reference's quantize-on-load, SURVEY.md §3.3)."""
+        path with the reference's quantize-on-load, SURVEY.md §3.3).
+
+        "table" mode: one symmetric scale per table (absmax over the whole
+        table / 127) — the pooled-output fold carries it, so lookups pay no
+        per-entry scale gather.  "row" mode: per-row absmax scales."""
         lay = self.layout
         fused = np.zeros((lay.total_rows, lay.dim), np.float32)
         for arr, off, rows in zip(host_tables, lay.row_offsets, lay.table_rows):
             fused[off : off + rows] = arr
-        absmax = np.abs(fused).max(axis=1)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        if self.scale_mode == "table":
+            tscale = np.empty(len(lay.table_rows), np.float32)
+            scale = np.ones(lay.total_rows, np.float32)
+            for t, (off, rows) in enumerate(
+                zip(lay.row_offsets, lay.table_rows)
+            ):
+                am = np.abs(fused[off : off + rows]).max() if rows else 0.0
+                tscale[t] = am / 127.0 if am > 0 else 1.0
+                scale[off : off + rows] = tscale[t]
+        else:
+            absmax = np.abs(fused).max(axis=1)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
         q = np.clip(np.round(fused / scale[:, None]), -127, 127).astype(np.int8)
         if self._strided:
             m, rps = lay.num_shards, lay.rows_per_shard
@@ -141,6 +181,11 @@ class QuantizedEmbeddingCollection:
             ).reshape(-1)
             q, scale = q[perm], scale[perm]
         q = q.reshape(lay.storage_rows, lay.storage_width)
+        if self.scale_mode == "table":
+            return {
+                "q": jax.device_put(jnp.asarray(q), self._q_sharding),
+                "tscale": jnp.asarray(tscale),
+            }
         return {
             "q": jax.device_put(jnp.asarray(q), self._q_sharding),
             "scale": jax.device_put(jnp.asarray(scale), self._scale_sharding),
@@ -162,6 +207,28 @@ class QuantizedEmbeddingCollection:
         — rather than a parallel one-method implementation."""
         return EmbeddingCollection(layout=self.layout, mesh=self.mesh)
 
+    def _storage(self, params: dict) -> dict:
+        """The dict the shared dispatches see.  "table" mode strips the [T]
+        tscale (it is NOT per-fused-row and must not enter shard_map specs);
+        _gather_f32 then returns rows in quantized units."""
+        if "tscale" in params:
+            return {"q": params["q"]}
+        return params
+
+    def _apply_tscale(self, params: dict, out):
+        """Fold the per-table scale into the pooled [B, T, D] output.
+
+        Sound for every combiner: SUM/MEAN are linear and MAX commutes with
+        multiplication by a positive scalar.  ``out`` may be (pooled,
+        stats) from a return_stats dispatch."""
+        if "tscale" not in params:
+            return out
+        ts = params["tscale"][None, :, None]
+        if isinstance(out, tuple):
+            pooled, stats = out
+            return pooled * ts, stats
+        return out * ts
+
     def lookup(
         self,
         params: dict,
@@ -171,9 +238,10 @@ class QuantizedEmbeddingCollection:
         batch_size: int | None = None,
         combiner: str = "sum",  # "sum" | "mean" | "max"
     ) -> jax.Array:  # [B, T, D] f32
-        return self._delegate.lookup(
-            params, indices, mask, batch_size=batch_size, combiner=combiner
-        )
+        return self._apply_tscale(params, self._delegate.lookup(
+            self._storage(params), indices, mask,
+            batch_size=batch_size, combiner=combiner,
+        ))
 
     def lookup_csr(
         self,
@@ -190,11 +258,11 @@ class QuantizedEmbeddingCollection:
         """Ragged (CSR) pooled lookup on int8 storage — the reference's
         native wire shape (emb_host.h:234) at capacity-mode density.
         Same contract as EmbeddingCollection.lookup_csr (incl. routed)."""
-        return self._delegate.lookup_csr(
-            params, indices, offsets, combiner=combiner,
+        return self._apply_tscale(params, self._delegate.lookup_csr(
+            self._storage(params), indices, offsets, combiner=combiner,
             data_sharded=data_sharded, routed=routed,
             capacity_factor=capacity_factor, return_stats=return_stats,
-        )
+        ))
 
     def lookup_routed(
         self,
@@ -208,17 +276,20 @@ class QuantizedEmbeddingCollection:
         return_stats: bool = False,
         combiner: str = "sum",
     ) -> jax.Array | tuple[jax.Array, jax.Array]:
-        """All-to-all routed lookup on int8 storage: rows dequantize ON THE
-        OWNER shard (scale rides the gather), so the return all_to_all
-        carries f32 rows exactly like the f32/bf16 routed path — drop
-        semantics and counters unchanged.  ``hot_cache`` holds f32 rows
-        (build it from dequantized hot rows); hits bypass the int8 gather
-        entirely."""
-        return self._delegate.lookup_routed(
-            params, indices, mask, batch_size=batch_size,
+        """All-to-all routed lookup on int8 storage.  "row" mode: rows
+        dequantize ON THE OWNER shard (scale rides the gather) and the
+        return all_to_all carries f32.  "table" mode: raw int8 codes ride
+        the return all_to_all in bf16 (exact — codes are integers in
+        [-127, 127]) and the per-table scale folds into the pooled output
+        — half the ICI bytes AND no per-entry scale gather.  ``hot_cache``
+        must be built with build_hot_cache against THESE params so its
+        rows are in the same units as the gathered rows (quantized units
+        in "table" mode)."""
+        return self._apply_tscale(params, self._delegate.lookup_routed(
+            self._storage(params), indices, mask, batch_size=batch_size,
             capacity_factor=capacity_factor, hot_cache=hot_cache,
             return_stats=return_stats, combiner=combiner,
-        )
+        ))
 
     @property
     def safe_capacity_factor(self) -> float:

@@ -70,6 +70,69 @@ def test_quantized_serving_parity(mesh, hybrid):
         assert scoll2 is scoll and sparams2["emb"] is sparams["emb"]
 
 
+def test_scale_mode_accuracy_auc(mesh):
+    """Quantify the per-table-vs-per-row scale accuracy delta (VERDICT r4
+    item 1) on a trained model: train f32 on a planted CTR task, quantize
+    both ways, require both serving AUCs within 0.01 of f32 AUC.  (On
+    trained tables per-row scales adapt to row-magnitude spread; the test
+    pins that the cheaper per-table fold does not cost model quality at
+    DLRM scale-spreads.)"""
+    from pim_embedding_lookup_tpu.models import (
+        make_optimizer, make_train_step, roc_auc,
+    )
+
+    rng = np.random.default_rng(5)
+    n, b, steps = 4096, 64, 600
+    tbl_rows = [t.num_rows for t in CFG.tables]
+    row_logits = [rng.normal(0, 1.5, size=r) for r in tbl_rows]
+    dense_np = rng.normal(0, 1, size=(n, 4)).astype(np.float32)
+    # draw big-table ids from a small support so rows repeat enough to
+    # train (and develop the row-magnitude spread per-row scales adapt to)
+    idx_np = np.stack(
+        [rng.integers(0, min(r, 500), size=n) for r in tbl_rows]
+    ).astype(np.int32)
+    logit = sum(row_logits[k][idx_np[k]] for k in range(3)) + 0.5 * dense_np[:, 0]
+    y = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype(np.float32)
+
+    model = DLRM(CFG, mesh, ShardingPolicy.ROW_HASH, hybrid=True)
+    params = model.init(jax.random.PRNGKey(1))
+    opt = make_optimizer(lr=0.1)
+    step = make_train_step(model, opt)
+    ost = opt.init(params)
+    mask = jnp.ones((3, b), bool)
+    for s in range(steps):
+        sel = np.arange((s * b) % n, (s * b) % n + b) % n
+        params, ost, _, _ = step(
+            params, ost,
+            jnp.asarray(dense_np[sel]), jnp.asarray(idx_np[:, sel]),
+            mask, jnp.asarray(y[sel]),
+        )
+
+    full_mask = jnp.ones((3, n), bool)
+    f32_logits = np.asarray(model.apply(
+        params, jnp.asarray(dense_np), jnp.asarray(idx_np), full_mask
+    ))
+    auc_f32 = roc_auc(y, 1 / (1 + np.exp(-f32_logits)))
+
+    aucs = {}
+    for mode in ("row", "table"):
+        scoll, sparams = quantize_dlrm_embeddings(
+            model, params, scale_mode=mode
+        )
+        pooled = scoll.lookup(
+            sparams["emb"], jnp.asarray(idx_np), full_mask, batch_size=n
+        )
+        ql = np.asarray(model.apply_from_pooled(
+            sparams, jnp.asarray(dense_np), pooled
+        ))
+        aucs[mode] = roc_auc(y, 1 / (1 + np.exp(-ql)))
+
+    print(f"\nAUC f32={auc_f32:.4f} int8-row={aucs['row']:.4f} "
+          f"int8-table={aucs['table']:.4f}")
+    assert abs(aucs["row"] - auc_f32) < 0.01, (aucs, auc_f32)
+    assert abs(aucs["table"] - auc_f32) < 0.01, (aucs, auc_f32)
+
+
 def test_unfuse_roundtrip(mesh):
     """unfuse_host inverts fused_host_array for packed ROW_HASH storage."""
     from pim_embedding_lookup_tpu.parallel import EmbeddingCollection

@@ -77,15 +77,43 @@ def test_quantized_lookup_parity(mesh, policy, packed):
     assert err.max() <= bound + 1e-5, (err.max(), bound)
 
 
-def test_quantized_init_bounds(mesh):
+@pytest.mark.parametrize("scale_mode", ["row", "table"])
+def test_quantized_init_bounds(mesh, scale_mode):
     coll = QuantizedEmbeddingCollection.create(
-        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True,
+        scale_mode=scale_mode,
     )
     params = coll.init(jax.random.PRNGKey(0))
     assert params["q"].shape == (coll.layout.storage_rows, 128)
-    assert params["scale"].shape == (coll.layout.total_rows,)
-    s = np.asarray(params["scale"])
+    if scale_mode == "row":
+        assert params["scale"].shape == (coll.layout.total_rows,)
+        s = np.asarray(params["scale"])
+    else:
+        assert params["tscale"].shape == (len(TABLES),)
+        s = np.asarray(params["tscale"])
     assert (s > 0).all() and s.max() <= 1.0 / 127 + 1e-9
+
+
+def test_quantized_init_modes_identical(mesh):
+    """At init all rows of a table share the analytic scale, so the "row"
+    and "table" modes must produce numerically identical lookups."""
+    rng = np.random.default_rng(3)
+    b, l = 8, 3
+    idx = jnp.asarray(np.stack(
+        [rng.integers(0, t.num_rows, size=b * l) for t in TABLES]
+    ).astype(np.int32))
+    mask = jnp.ones((len(TABLES), b * l), bool)
+    outs = []
+    for mode in ("row", "table"):
+        coll = QuantizedEmbeddingCollection.create(
+            TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True,
+            scale_mode=mode,
+        )
+        params = coll.init(jax.random.PRNGKey(7))
+        outs.append(np.asarray(
+            coll.lookup(params, idx, mask, batch_size=b)
+        ))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-7)
 
 
 def test_quantized_memory_footprint(mesh):
@@ -107,13 +135,18 @@ def test_quantized_rejects_column(mesh):
 # ---- r4: int8 as a FULL citizen of the query surface (VERDICT r3 item 2) --
 
 
-def quantize_roundtrip_tables(tables_np):
+def quantize_roundtrip_tables(tables_np, scale_mode="row"):
     """The f32 values the int8 storage actually represents — exact
     expectations (no quantization-error tolerance needed)."""
     out = []
     for t in tables_np:
-        absmax = np.abs(t).max(axis=1)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        if scale_mode == "table":
+            am = np.abs(t).max()
+            scale = np.full(t.shape[0], am / 127.0 if am > 0 else 1.0,
+                            np.float32)
+        else:
+            absmax = np.abs(t).max(axis=1)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
         q = np.clip(np.round(t / scale[:, None]), -127, 127).astype(np.int8)
         out.append(q.astype(np.float32) * scale[:, None])
     return out
@@ -145,16 +178,18 @@ def oracle_csr(tables_np, bags, combiner):
     return out
 
 
+@pytest.mark.parametrize("scale_mode", ["row", "table"])
 @pytest.mark.parametrize("combiner", ["sum", "mean", "max"])
 @pytest.mark.parametrize("data_sharded", [False, True])
-def test_quantized_csr_combiners(mesh, combiner, data_sharded):
+def test_quantized_csr_combiners(mesh, combiner, data_sharded, scale_mode):
     """CSR bags (incl. empty) + the full combiner set on int8 storage —
-    exact vs the dequantized-roundtrip oracle."""
+    exact vs the dequantized-roundtrip oracle, in BOTH scale modes."""
     from pim_embedding_lookup_tpu.ops.ragged import shard_csr
 
     rng = np.random.default_rng(2)
     coll = QuantizedEmbeddingCollection.create(
-        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True,
+        scale_mode=scale_mode,
     )
     tables_np = [
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
@@ -169,20 +204,25 @@ def test_quantized_csr_combiners(mesh, combiner, data_sharded):
         params, jnp.asarray(idx), jnp.asarray(off),
         combiner=combiner, data_sharded=data_sharded,
     )
-    want = oracle_csr(quantize_roundtrip_tables(tables_np), bags, combiner)
+    want = oracle_csr(
+        quantize_roundtrip_tables(tables_np, scale_mode), bags, combiner
+    )
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("scale_mode", ["row", "table"])
 @pytest.mark.parametrize("combiner", ["mean", "max"])
-def test_quantized_dense_combiners(mesh, combiner):
+def test_quantized_dense_combiners(mesh, combiner, scale_mode):
     rng = np.random.default_rng(4)
-    coll = QuantizedEmbeddingCollection.create(TABLES, mesh, ShardingPolicy.ROW)
+    coll = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, ShardingPolicy.ROW, scale_mode=scale_mode
+    )
     tables_np = [
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
         for t in TABLES
     ]
     params = coll.quantize_tables(tables_np)
-    rt = quantize_roundtrip_tables(tables_np)
+    rt = quantize_roundtrip_tables(tables_np, scale_mode)
     b, l = 12, 4
     idx = np.stack(
         [rng.integers(0, t.num_rows, size=(b, l)) for t in TABLES]
@@ -205,15 +245,19 @@ def test_quantized_dense_combiners(mesh, combiner):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("scale_mode", ["row", "table"])
 @pytest.mark.parametrize("policy", [ShardingPolicy.ROW, ShardingPolicy.ROW_HASH])
-def test_quantized_routed_parity(mesh, policy):
+def test_quantized_routed_parity(mesh, policy, scale_mode):
     """Routed int8 lookup (dense + CSR): zero drops at the default cf,
-    parity vs the broadcast int8 path — dequant rides the return
-    all_to_all as f32."""
+    parity vs the broadcast int8 path.  "row" mode dequantizes on the
+    owner (f32 return wire); "table" mode rides raw codes back in bf16
+    (exact) and folds the scale post-pool."""
     from pim_embedding_lookup_tpu.ops.ragged import shard_csr
 
     rng = np.random.default_rng(6)
-    coll = QuantizedEmbeddingCollection.create(TABLES, mesh, policy, packed=True)
+    coll = QuantizedEmbeddingCollection.create(
+        TABLES, mesh, policy, packed=True, scale_mode=scale_mode
+    )
     tables_np = [
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)
         for t in TABLES
@@ -340,12 +384,11 @@ def test_quantized_checkpoint_roundtrip(mesh, tmp_path):
     restored = ckpt.restore(
         path, params, expect_meta=ckpt.collection_meta(coll)
     )
-    np.testing.assert_array_equal(
-        np.asarray(restored["q"]), np.asarray(params["q"])
-    )
-    np.testing.assert_array_equal(
-        np.asarray(restored["scale"]), np.asarray(params["scale"])
-    )
+    assert set(restored) == set(params)
+    for k in params:  # {"q", "tscale"} (table mode) or {"q", "scale"}
+        np.testing.assert_array_equal(
+            np.asarray(restored[k]), np.asarray(params[k])
+        )
 
     other = QuantizedEmbeddingCollection.create(
         TABLES, mesh, ShardingPolicy.ROW, packed=True
@@ -357,17 +400,20 @@ def test_quantized_checkpoint_roundtrip(mesh, tmp_path):
         )
 
 
-def test_quantized_hot_cache_routed(mesh):
-    """build_hot_cache on int8 dict storage (r4 review finding): rows
-    dequantize in the gather, hits bypass the int8 path, routed lookup
-    parity holds with the cache installed."""
+@pytest.mark.parametrize("scale_mode", ["row", "table"])
+def test_quantized_hot_cache_routed(mesh, scale_mode):
+    """build_hot_cache on int8 dict storage (r4 review finding): cache rows
+    are in the same units as the gathered rows ("row": dequantized f32;
+    "table": quantized units, scale folded post-pool), hits bypass the
+    int8 gather, routed lookup parity holds with the cache installed."""
     from pim_embedding_lookup_tpu.parallel.hotcache import (
         build_hot_cache, hot_ids_from_sample,
     )
 
     rng = np.random.default_rng(12)
     coll = QuantizedEmbeddingCollection.create(
-        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True
+        TABLES, mesh, ShardingPolicy.ROW_HASH, packed=True,
+        scale_mode=scale_mode,
     )
     tables_np = [
         rng.standard_normal((t.num_rows, t.dim)).astype(np.float32)

@@ -41,11 +41,16 @@ def oracle_csr(tables_np, bags, combiner):
     return out
 
 
-def quant_roundtrip(tables_np):
+def quant_roundtrip(tables_np, scale_mode):
     out = []
     for t in tables_np:
-        absmax = np.abs(t).max(axis=1)
-        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        if scale_mode == "table":
+            am = np.abs(t).max()
+            scale = np.full(t.shape[0], am / 127.0 if am > 0 else 1.0,
+                            np.float32)
+        else:
+            absmax = np.abs(t).max(axis=1)
+            scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
         q = np.clip(np.round(t / scale[:, None]), -127, 127).astype(np.int8)
         out.append(q.astype(np.float32) * scale[:, None])
     return out
@@ -81,11 +86,12 @@ def test_query_surface_fuzz(mesh, case):
         for tb in tables
     ]
     if int8:
+        scale_mode = "table" if rng.random() < 0.5 else "row"
         coll = QuantizedEmbeddingCollection.create(
-            tables, mesh, policy, packed=packed
+            tables, mesh, policy, packed=packed, scale_mode=scale_mode
         )
         params = coll.quantize_tables(tables_np)
-        oracle_tables = quant_roundtrip(tables_np)
+        oracle_tables = quant_roundtrip(tables_np, scale_mode)
         rtol = atol = 2e-3
     else:
         coll = EmbeddingCollection.create(tables, mesh, policy, packed=packed)

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--pooling", type=int, default=1)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--scale-mode", default="table", choices=["table", "row"],
+                    help="int8 scale granularity: per-table (post-pool fold, "
+                         "one gather issue/entry) or per-row (2x issues)")
     args = ap.parse_args()
 
     import jax
@@ -44,10 +47,11 @@ def main():
         TableConfig(num_rows=args.rows, dim=args.dim, name=f"cap_{i}")
         for i in range(args.tables)
     )
-    gb_int8 = sum(t.num_rows * (t.dim + 4) for t in tables) / 1e9
+    scale_bytes = 4 if args.scale_mode == "row" else 0
+    gb_int8 = sum(t.num_rows * (t.dim + scale_bytes) for t in tables) / 1e9
     gb_f32 = sum(t.num_rows * t.dim * 4 for t in tables) / 1e9
-    print(f"int8 {gb_int8:.1f}GB (f32 would be {gb_f32:.1f}GB)",
-          file=sys.stderr)
+    print(f"int8 {gb_int8:.1f}GB (f32 would be {gb_f32:.1f}GB) "
+          f"scale_mode={args.scale_mode}", file=sys.stderr)
 
     mesh = make_mesh(MeshConfig(data=1, model=jax.device_count()))
     policy = (
@@ -55,7 +59,9 @@ def main():
         if jax.device_count() == 1
         else ShardingPolicy.ROW_HASH
     )
-    coll = QuantizedEmbeddingCollection.create(tables, mesh, policy)
+    coll = QuantizedEmbeddingCollection.create(
+        tables, mesh, policy, scale_mode=args.scale_mode
+    )
     params = coll.init(jax.random.PRNGKey(0))
     jax.block_until_ready(params["q"])
     print(f"params ready pack={coll.layout.pack}", file=sys.stderr)
@@ -132,6 +138,7 @@ def main():
 
     print(json.dumps({
         "metric": "int8_capacity_pooled_lookups_per_s",
+        "scale_mode": args.scale_mode,
         "tables_gb_int8": round(gb_int8, 2),
         "tables_gb_f32_equiv": round(gb_f32, 2),
         "us_per_iter": round(dt * 1e6, 1),
