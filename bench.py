@@ -33,7 +33,8 @@ def log(*a):
 
 def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
                     dtype="float32", packed="auto", quantized=False,
-                    mxu_threshold=None, wire="dense", int8_scale="table"):
+                    mxu_threshold=None, wire="dense", int8_scale="table",
+                    csr_ragged=False):
     """Device-honest lookup throughput.
 
     The timed loop runs IN-GRAPH (lax.fori_loop over `iters` lookups, one
@@ -123,30 +124,100 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
 
         def lookup_fn(p, i, m):
             return coll.lookup(p, i, m, batch_size=batch)
-    if wire == "csr":
-        # the reference's native indices+offsets wire shape (emb_host.h:234)
-        # at the same workload: offsets encode fixed-L bags, the engine
-        # sees the generic ragged path (segment ids + segment reduce)
-        offsets = jnp.asarray(
-            np.tile(
-                np.arange(batch + 1, dtype=np.int32) * pooling,
-                (len(tables), 1),
-            )
-        )
-        def lookup_fn(p, i, m):  # noqa: F811 — wire override
-            del m
-            return coll.lookup_csr(p, i, offsets)
-
     jax.block_until_ready(params)
 
     rng = np.random.default_rng(seed)
     t = len(tables)
+    capacity = batch * pooling
+    offsets_np = None
+    if wire in ("csr", "csr-bucketed"):
+        if csr_ragged:
+            # genuinely ragged bags with mean length ~= pooling: a mixture
+            # of empties, short bags, and 4x-pooling outliers (the regime
+            # the bucketed dispatch exists for)
+            lens = np.zeros((t, batch), np.int64)
+            r = rng.random((t, batch))
+            lens[r >= 0.10] = np.maximum(
+                1, rng.integers(1, pooling + 1, size=(t, batch))
+            )[r >= 0.10]
+            long_sel = r >= 0.90
+            lens[long_sel] = rng.integers(
+                2 * pooling, 4 * pooling + 1, size=(t, batch)
+            )[long_sel]
+            capacity = int(lens.sum(axis=1).max())
+            capacity = -(-capacity // 8) * 8
+            offsets_np = np.zeros((t, batch + 1), np.int32)
+            np.cumsum(lens, axis=1, out=offsets_np[:, 1:])
+            log(f"ragged CSR: capacity={capacity} "
+                f"mean_len={lens.mean():.2f} max_len={lens.max()}")
+        else:
+            # the reference wire at the same workload: fixed-L bags
+            offsets_np = np.tile(
+                np.arange(batch + 1, dtype=np.int32) * pooling,
+                (t, 1),
+            )
     idx = jnp.asarray(
         np.stack(
-            [rng.integers(0, tb.num_rows, size=batch * pooling) for tb in tables]
+            [rng.integers(0, tb.num_rows, size=capacity) for tb in tables]
         ).astype(np.int32)
     )
-    mask = jnp.ones((t, batch * pooling), dtype=bool)
+    mask = jnp.ones((t, capacity), dtype=bool)
+
+    if wire == "csr":
+        # the reference's native indices+offsets wire shape (emb_host.h:234):
+        # the engine sees the generic ragged path (segment ids + segment
+        # reduce)
+        offsets = jnp.asarray(offsets_np)
+
+        def lookup_fn(p, i, m):  # noqa: F811 — wire override
+            del m
+            return coll.lookup_csr(p, i, offsets)
+    elif wire == "csr-bucketed":
+        # host-side length bucketing (ops/ragged.py): same CSR workload,
+        # re-wired into fixed-L dense dispatches + residual CSR tail.
+        # The pack happens ON THE HOST before the loop (the reference also
+        # builds its padded wire host-side, emb_host.h:30,262); the timed
+        # loop rotates the packed id arrays in-graph like every other wire.
+        import dataclasses as _dc
+
+        from pim_embedding_lookup_tpu.ops.ragged import (
+            pack_length_buckets, plan_length_buckets,
+        )
+        from pim_embedding_lookup_tpu.parallel import lookup_csr_bucketed
+
+        bls = (pooling,) if not csr_ragged else tuple(
+            sorted({1, pooling, 2 * pooling})
+        )
+        plan0 = plan_length_buckets(offsets_np, bucket_ls=bls, slack=1.0)
+        t_pack0 = time.perf_counter()
+        packed0 = pack_length_buckets(np.asarray(idx), offsets_np, plan0)
+        pack_ms = (time.perf_counter() - t_pack0) * 1e3
+        log(f"bucket plan: ls={plan0.bucket_ls} caps={plan0.capacities} "
+            f"tail_bags={plan0.tail_bags} tail_entries={plan0.tail_entries} "
+            f"host_pack={pack_ms:.1f}ms/batch (numpy reference packer)")
+        static = _dc.replace(
+            packed0,
+            idx=tuple(jnp.asarray(m) for m in packed0.idx),
+            mask=tuple(jnp.asarray(m) for m in packed0.mask),
+            pos=tuple(jnp.asarray(p) for p in packed0.pos),
+            tail_idx=None if packed0.tail_idx is None
+            else jnp.asarray(packed0.tail_idx),
+            tail_off=None if packed0.tail_off is None
+            else jnp.asarray(packed0.tail_off),
+            tail_pos=None if packed0.tail_pos is None
+            else jnp.asarray(packed0.tail_pos),
+        )
+        # the rotating query pytree: bucket ids (+ tail ids if present)
+        idx = (static.idx if static.tail_idx is None
+               else static.idx + (static.tail_idx,))
+
+        def lookup_fn(p, i, m):  # noqa: F811 — wire override
+            del m
+            if static.tail_idx is None:
+                pk = _dc.replace(static, idx=i)
+            else:
+                pk = _dc.replace(static, idx=i[:-1], tail_idx=i[-1])
+            return lookup_csr_bucketed(coll, p, pk)
     rows_arr = jnp.asarray([tb.num_rows for tb in tables], dtype=jnp.int32)
     # large co-prime-ish per-iteration stride: decorrelates access patterns
     stride = jnp.asarray(
@@ -160,7 +231,10 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
             acc, idx_i = carry
             out = lookup_fn(params, idx_i, mask)
             # rotate every table's ids within its range for the next iter
-            idx_next = (idx_i + stride[:, None]) % rows_arr[:, None]
+            # (idx may be a pytree of [T, *] id arrays — csr-bucketed wire)
+            idx_next = jax.tree.map(
+                lambda a: (a + stride[:, None]) % rows_arr[:, None], idx_i
+            )
             # full-output consumption so no part of the lookup can be DCE'd
             return acc + jnp.sum(out), idx_next
 
@@ -282,9 +356,16 @@ def main():
     ap.add_argument("--mxu-threshold", type=int, default=0,
                     help="override the hybrid small-table row threshold "
                          "(0 = library default)")
-    ap.add_argument("--wire", default="dense", choices=["dense", "csr"],
-                    help="query wire shape: dense padded [T,B*L] or the "
-                         "reference's CSR indices+offsets (emb_host.h:234)")
+    ap.add_argument("--wire", default="dense",
+                    choices=["dense", "csr", "csr-bucketed"],
+                    help="query wire shape: dense padded [T,B*L], the "
+                         "reference's CSR indices+offsets (emb_host.h:234), "
+                         "or CSR re-wired through host-side length "
+                         "bucketing (ops/ragged.py)")
+    ap.add_argument("--csr-ragged", action="store_true",
+                    help="with a csr wire: genuinely ragged bag lengths "
+                         "(mixture incl. empties and 4x-pooling outliers) "
+                         "instead of fixed-L offsets")
     ap.add_argument("--int8-scale", default="table",
                     choices=["table", "row"],
                     help="int8 scale granularity: per-table (folded in "
@@ -331,7 +412,7 @@ def main():
         hybrid=not args.no_hybrid, dtype=args.dtype,
         packed=False if args.no_packed else "auto",
         mxu_threshold=args.mxu_threshold, wire=args.wire,
-        int8_scale=args.int8_scale,
+        int8_scale=args.int8_scale, csr_ragged=args.csr_ragged,
     )
 
     vs_baseline = None

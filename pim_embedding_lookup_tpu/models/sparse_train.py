@@ -29,8 +29,13 @@ from ..parallel.hybrid import (
     HybridEmbeddingCollection,
     init_accumulator_hybrid,
     sparse_update_hybrid,
+    sparse_update_hybrid_csr,
 )
-from ..parallel.sparse_update import init_accumulator, sparse_update
+from ..parallel.sparse_update import (
+    init_accumulator,
+    sparse_update,
+    sparse_update_csr,
+)
 from .dlrm import DLRM, bce_loss
 
 
@@ -52,6 +57,26 @@ def _apply_sparse(coll, emb, acc, indices, mask, g_pooled, *, lr, optimizer,
         coll, emb, acc, indices, mask, g_pooled,
         lr=lr, optimizer=optimizer, eps=eps,
         routed=routed, capacity_factor=capacity_factor,
+    )
+
+
+def _apply_sparse_csr(coll, emb, acc, indices, offsets, g_pooled, *, lr,
+                      optimizer, eps, routed=False, data_sharded=False,
+                      capacity_factor=None):
+    """CSR-wire twin of _apply_sparse: the backward of lookup_csr for the
+    reference's native indices+offsets shape (emb_host.h:234)."""
+    if isinstance(coll, HybridEmbeddingCollection):
+        return sparse_update_hybrid_csr(
+            coll, emb, acc, indices, offsets, g_pooled,
+            lr=lr, optimizer=optimizer, eps=eps,
+            routed=routed, data_sharded=data_sharded,
+            capacity_factor=capacity_factor,
+        )
+    return sparse_update_csr(
+        coll, emb, acc, indices, offsets, g_pooled,
+        lr=lr, optimizer=optimizer, eps=eps,
+        routed=routed, data_sharded=data_sharded,
+        capacity_factor=capacity_factor,
     )
 
 

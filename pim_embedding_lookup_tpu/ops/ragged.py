@@ -143,12 +143,19 @@ def shard_csr(
 class LengthBucketPlan:
     """Static shape plan for bucketed CSR dispatch (host-side).
 
-    ``bucket_ls``: ascending fixed pooling widths; a bag of length l packs
-    into the first bucket with L >= l (padded+masked up to L).
-    ``capacities``: bags per bucket, shared across tables (per-table pad
-    slots carry a sentinel position and a zero mask).
-    ``tail_bags``/``tail_entries``: residual-CSR capacity for bags longer
-    than bucket_ls[-1] (0 = no tail dispatch).
+    Bucketing is per BATCH ELEMENT: bag slot b is assigned by its MAX bag
+    length across tables, so every table shares one position array and the
+    merge scatters B rows of [T*D] lanes — NOT B*T rows (a per-(table,bag)
+    merge was measured on chip and its per-row scatter issues ate the
+    whole dense-kernel win; see docs/PERF.md).
+
+    ``bucket_ls``: ascending fixed pooling widths; batch element b packs
+    into the first bucket with L >= maxlen(b) that has a free slot.
+    ``capacities``: slots per bucket, rounded to ``round_to`` so the dense
+    dispatch batch-shards over the data axis.
+    ``tail_bags``/``tail_entries``: residual-CSR capacity (bags longer
+    than bucket_ls[-1] or spilled past full buckets); tail_entries is the
+    per-table entry capacity.
     """
 
     batch: int
@@ -162,9 +169,11 @@ class LengthBucketPlan:
 class BucketedCSR:
     """Packed device-ready arrays for one batch under a LengthBucketPlan.
 
-    Per bucket k: idx/mask [T, Bk*Lk], pos [T, Bk] (sentinel=batch for pad
-    slots).  Tail: per-table CSR (idx [T, tail_entries], off
-    [T, tail_bags+1]) + pos [T, tail_bags] (sentinel=batch).
+    Per bucket k: idx/mask [T, Bk*Lk], pos [Bk] int32 (sentinel=batch for
+    unused slots), SHARED across tables.  Tail: per-table CSR (idx
+    [T, tail_entries], off [T, tail_bags+1]) + pos [tail_bags].
+    ``identity``: single bucket, no tail, slot j holds batch element j —
+    the merge is a no-op slice (the fixed-L fast path).
     """
 
     plan: LengthBucketPlan
@@ -174,37 +183,44 @@ class BucketedCSR:
     tail_idx: np.ndarray | None
     tail_off: np.ndarray | None
     tail_pos: np.ndarray | None
+    identity: bool
 
 
 def plan_length_buckets(
     offsets: np.ndarray,  # [T, B+1] (a representative batch)
     bucket_ls: Sequence[int] = (1, 2, 4, 8),
     slack: float = 1.3,
+    round_to: int = 8,
 ) -> LengthBucketPlan:
     """Derive static bucket capacities from a representative batch.
 
-    Capacities take the max per-table count times ``slack`` (so plans
-    survive batch-to-batch variation without repacking overflow too
-    often), capped at the batch size.  Empty bags belong to no bucket
-    (they pool to zero by construction).
+    Capacities take each bucket's batch-element count times ``slack`` (so
+    one plan survives batch-to-batch length variation), rounded up to
+    ``round_to`` (data-axis divisibility for the dense dispatch).
+    All-empty batch elements belong to no bucket (they pool to zero).
     """
     offsets = np.asarray(offsets)
     lens = offsets[:, 1:] - offsets[:, :-1]  # [T, B]
-    b = lens.shape[1]
+    blen = lens.max(axis=0)  # [B] per-batch-element max length
+    b = blen.shape[0]
     ls = tuple(sorted(int(l) for l in bucket_ls))
     if not ls or ls[0] < 1:
         raise ValueError(f"bucket_ls must be positive: {bucket_ls}")
+
+    def rounded(n):
+        return -(-int(np.ceil(n)) // round_to) * round_to
+
     caps = []
     prev = 0
     for l in ls:
-        count = ((lens > prev) & (lens <= l)).sum(axis=1).max()
-        caps.append(min(b, int(np.ceil(count * slack))) if count else 0)
+        count = int(((blen > prev) & (blen <= l)).sum())
+        caps.append(rounded(count * slack) if count else 0)
         prev = l
-    tail_sel = lens > ls[-1]
-    tail_bags = int(tail_sel.sum(axis=1).max())
-    tail_entries = int((lens * tail_sel).sum(axis=1).max())
+    tail_sel = blen > ls[-1]
+    tail_bags = int(tail_sel.sum())
+    tail_entries = int((lens[:, tail_sel].sum(axis=1)).max()) if tail_bags else 0
     if tail_bags:
-        tail_bags = min(b, int(np.ceil(tail_bags * slack)))
+        tail_bags = rounded(tail_bags * slack)
         tail_entries = int(np.ceil(tail_entries * slack))
     return LengthBucketPlan(
         batch=b,
@@ -221,70 +237,118 @@ def pack_length_buckets(
     plan: LengthBucketPlan,
     pad_index: int = 0,
 ) -> BucketedCSR:
-    """Pack one batch's CSR bags into the plan's fixed shapes.
+    """Pack one batch's CSR bags into the plan's fixed shapes (vectorized
+    numpy — one pass per (bucket, table)).
 
-    A bag goes to the first bucket with L >= len and a free slot; full
-    buckets spill to the next larger bucket, then to the tail.  Raises
-    ValueError when the tail overflows — re-plan with more slack (the
-    caller can always fall back to plain lookup_csr for that batch).
+    A batch element goes to the first bucket with L >= maxlen and a free
+    slot; full buckets spill to the next larger bucket, then to the tail
+    (which also takes maxlen > bucket_ls[-1]).  Raises ValueError when the
+    tail overflows — re-plan with more slack (callers can always fall back
+    to plain lookup_csr for that batch).
     """
     indices = np.asarray(indices)
-    offsets = np.asarray(offsets)
+    offsets = np.asarray(offsets).astype(np.int64)
     t, b = offsets.shape[0], offsets.shape[1] - 1
     if b != plan.batch:
         raise ValueError(f"batch {b} != plan batch {plan.batch}")
+    lens = (offsets[:, 1:] - offsets[:, :-1]).astype(np.int64)  # [T, B]
+    blen = lens.max(axis=0)
     ls, caps = plan.bucket_ls, plan.capacities
     nk = len(ls)
-    idx = [np.full((t, caps[k] * ls[k]), pad_index, np.int32) for k in range(nk)]
-    mask = [np.zeros((t, caps[k] * ls[k]), bool) for k in range(nk)]
-    pos = [np.full((t, caps[k]), b, np.int32) for k in range(nk)]
+
+    # bucket assignment (per batch element): smallest L >= maxlen; -1 for
+    # all-empty elements; nk == tail
+    assign = np.searchsorted(np.asarray(ls), blen, side="left").astype(int)
+    assign[blen == 0] = -1
+    # spill overflow (arrival order) to the next larger bucket / tail
+    for k in range(nk):
+        sel = np.nonzero(assign == k)[0]
+        if len(sel) > caps[k]:
+            assign[sel[caps[k]:]] = k + 1
+    tail_list = np.nonzero(assign == nk)[0]
     has_tail = plan.tail_bags > 0
-    tail_idx = np.full((t, plan.tail_entries), pad_index, np.int32) if has_tail else None
-    tail_off = np.zeros((t, plan.tail_bags + 1), np.int32) if has_tail else None
-    tail_pos = np.full((t, plan.tail_bags), b, np.int32) if has_tail else None
+    if len(tail_list) > plan.tail_bags:
+        raise ValueError(
+            f"bucket plan overflow ({len(tail_list)} residual bags > "
+            f"tail capacity {plan.tail_bags}) — re-plan with more slack "
+            "or fall back to lookup_csr"
+        )
 
+    # per-entry coordinates, per table: bag id and within-bag rank
+    cap_c = indices.shape[1]
+    bagid = np.empty((t, cap_c), np.int64)
+    rank = np.empty((t, cap_c), np.int64)
     for ti in range(t):
-        fill = [0] * nk
-        tfill = 0
-        tcursor = 0
-        for bi in range(b):
-            s, e = int(offsets[ti, bi]), int(offsets[ti, bi + 1])
-            l = e - s
-            if l == 0:
-                continue
-            placed = False
-            for k in range(nk):
-                if l <= ls[k] and fill[k] < caps[k]:
-                    j = fill[k]
-                    idx[k][ti, j * ls[k] : j * ls[k] + l] = indices[ti, s:e]
-                    mask[k][ti, j * ls[k] : j * ls[k] + l] = True
-                    pos[k][ti, j] = bi
-                    fill[k] += 1
-                    placed = True
-                    break
-            if placed:
-                continue
-            if not has_tail or tfill >= plan.tail_bags or (
-                tcursor + l > plan.tail_entries
-            ):
-                raise ValueError(
-                    f"bucket plan overflow (table {ti}, bag {bi}, len {l}) "
-                    "— re-plan with more slack or fall back to lookup_csr"
-                )
-            tail_idx[ti, tcursor : tcursor + l] = indices[ti, s:e]
-            tail_pos[ti, tfill] = bi
-            tcursor += l
-            tfill += 1
-            tail_off[ti, tfill] = tcursor
-        if has_tail:
-            tail_off[ti, tfill + 1 :] = tcursor
+        n_ent = int(offsets[ti, -1])
+        bagid[ti, :n_ent] = np.repeat(np.arange(b), lens[ti])
+        bagid[ti, n_ent:] = b  # padding -> sentinel
+        p = np.arange(cap_c, dtype=np.int64)
+        starts = np.concatenate([offsets[ti, :-1], [cap_c]])
+        rank[ti] = p - starts[np.minimum(bagid[ti], b)]
 
+    idx_out, mask_out, pos_out = [], [], []
+    slot_of = np.full(b + 1, -1, np.int64)
+    for k, l in enumerate(ls):
+        bags_k = np.nonzero(assign == k)[0]
+        ik = np.full((t, caps[k] * l), pad_index, np.int32)
+        mk = np.zeros((t, caps[k] * l), bool)
+        pk = np.full(caps[k], b, np.int32)
+        pk[: len(bags_k)] = bags_k
+        slot_of[:] = -1
+        slot_of[bags_k] = np.arange(len(bags_k))
+        for ti in range(t):
+            sl = slot_of[bagid[ti]]
+            put = sl >= 0
+            dest = sl[put] * l + rank[ti, put]
+            ik[ti, dest] = indices[ti, put]
+            mk[ti, dest] = True
+        idx_out.append(ik)
+        mask_out.append(mk)
+        pos_out.append(pk)
+
+    tail_idx = tail_off = tail_pos = None
+    if has_tail:
+        tail_idx = np.full((t, plan.tail_entries), pad_index, np.int32)
+        tail_off = np.zeros((t, plan.tail_bags + 1), np.int32)
+        tail_pos = np.full(plan.tail_bags, b, np.int32)
+        tail_pos[: len(tail_list)] = tail_list
+        slot_of[:] = -1
+        slot_of[tail_list] = np.arange(len(tail_list))
+        for ti in range(t):
+            tl = lens[ti, tail_list]
+            toff = np.zeros(len(tail_list) + 1, np.int64)
+            np.cumsum(tl, out=toff[1:])
+            if toff[-1] > plan.tail_entries:
+                raise ValueError(
+                    f"bucket plan overflow (table {ti}: {toff[-1]} tail "
+                    f"entries > capacity {plan.tail_entries}) — re-plan "
+                    "with more slack"
+                )
+            sl = slot_of[bagid[ti]]
+            put = sl >= 0
+            dest = toff[sl[put]] + rank[ti, put]
+            tail_idx[ti, dest] = indices[ti, put]
+            tail_off[ti, 1 : len(tail_list) + 1] = toff[1:]
+            tail_off[ti, len(tail_list) + 1 :] = toff[-1]
+    elif len(tail_list):
+        raise ValueError(
+            "bucket plan overflow (residual bags but tail capacity 0)"
+        )
+
+    nonzero = [k for k in range(nk) if caps[k]]
+    identity = (
+        not len(tail_list)
+        and len(nonzero) == 1
+        and caps[nonzero[0]] >= b
+        and np.array_equal(pos_out[nonzero[0]][:b], np.arange(b))
+    )
     return BucketedCSR(
         plan=plan,
-        idx=tuple(idx),
-        mask=tuple(mask),
-        pos=tuple(pos),
+        idx=tuple(idx_out),
+        mask=tuple(mask_out),
+        pos=tuple(pos_out),
         tail_idx=tail_idx,
         tail_off=tail_off,
         tail_pos=tail_pos,
+        identity=identity,
     )

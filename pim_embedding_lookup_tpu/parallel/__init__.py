@@ -1,5 +1,6 @@
 """Mesh construction, table placement planning, and sharded lookup."""
 
+from .bucketed import lookup_csr_bucketed
 from .collection import EmbeddingCollection
 from .hybrid import HybridEmbeddingCollection
 from .quantized_collection import QuantizedEmbeddingCollection
@@ -16,6 +17,7 @@ from .mesh import (
 from .planner import FusedLayout, plan
 
 __all__ = [
+    "lookup_csr_bucketed",
     "EmbeddingCollection",
     "HybridEmbeddingCollection",
     "QuantizedEmbeddingCollection",

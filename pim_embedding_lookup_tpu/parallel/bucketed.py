@@ -1,24 +1,32 @@
 """Length-bucketed CSR dispatch: ragged bags -> a few fixed-L dense
-lookups + a residual CSR tail, merged by a batch-position scatter.
+lookups + a residual CSR tail, merged by a per-batch-element scatter.
 
 Why: the CSR segment reduce pays its raggedness tax per dispatch and it is
 worst at narrow dims (2.2x over fixed-L dense at the reference's dim-16
 canonical shape — docs/PERF.md "Residual CSR tax by shape").  The
 reference's own answer to raggedness is host-side padding to a fixed L
 (emb_host.h:30,262); this is the shape-adaptive version: ops/ragged.py's
-host packer groups bags by length into static fixed-L buckets, each bucket
-rides the measured-fast dense kernel (hybrid MXU + lane-packed gather
-included), and only genuinely long bags pay the segment reduce.
+host packer groups batch elements by max bag length into static fixed-L
+buckets, each bucket rides the measured-fast dense kernel (hybrid MXU +
+lane-packed gather included), and only genuinely long bags pay the
+segment reduce.
+
+Merge cost note (measured on chip): positions are per BATCH ELEMENT and
+shared across tables, so the merge scatters at most ~B rows of [T*D]
+lanes — and is a free slice when the pack is the identity (fixed-L wire).
+An earlier per-(table, bag) merge scattered B*T narrow rows and its
+per-row issue cost (~10ns each at 213k rows) ate the entire dense-kernel
+win; never merge at entry granularity on this hardware.
 
 Works with any collection exposing ``lookup``/``lookup_csr`` with the
 standard signatures: EmbeddingCollection, HybridEmbeddingCollection,
 QuantizedEmbeddingCollection (the int8 per-table scale fold happens inside
-its lookup wrappers, so bucketed merge sees final-unit rows).
+its lookup wrappers, so the merge sees final-unit rows).
 
-Merge correctness: every non-empty bag is packed into exactly ONE bucket
-slot (or the tail), so a position-scatter SET is exact for every combiner;
-empty bags are never packed and keep the zero initial value (torch
-EmbeddingBag parity).  Pad slots carry sentinel position ``batch`` and
+Merge correctness: every batch element with entries occupies exactly ONE
+bucket slot (or tail slot), so a position-scatter SET is exact for every
+combiner; all-empty elements keep the zero initial value (torch
+EmbeddingBag parity).  Unused slots carry sentinel position ``batch`` and
 land in a sliced-off sentinel row.
 """
 
@@ -27,17 +35,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops.ragged import BucketedCSR
-
-
-def _scatter_pooled(out_flat, pooled, pos, t):
-    """out_flat [(B+1)*T, D] <- pooled [Bk, T, D] at positions pos [T, Bk]
-    (sentinel B for pad slots -> the sliced-off sentinel rows)."""
-    bk = pooled.shape[0]
-    pflat = (jnp.transpose(pos, (1, 0)) * t
-             + jnp.arange(t, dtype=pos.dtype)[None, :]).reshape(-1)  # [Bk*T]
-    return out_flat.at[pflat].set(
-        pooled.reshape(bk * t, -1), mode="drop"
-    )
 
 
 def lookup_csr_bucketed(
@@ -55,9 +52,7 @@ def lookup_csr_bucketed(
     """
     plan = packed.plan
     b = plan.batch
-    t = packed.pos[0].shape[0] if packed.pos else packed.tail_pos.shape[0]
-    d = None
-    out_flat = None
+    parts = []  # (pooled [Bk, T, D], pos [Bk])
 
     for k, l in enumerate(plan.bucket_ls):
         if plan.capacities[k] == 0:
@@ -68,13 +63,8 @@ def lookup_csr_bucketed(
             jnp.asarray(packed.mask[k]),
             batch_size=plan.capacities[k],
             combiner=combiner,
-        )  # [Bk, T, D]
-        if out_flat is None:
-            d = pooled.shape[-1]
-            out_flat = jnp.zeros(((b + 1) * t, d), pooled.dtype)
-        out_flat = _scatter_pooled(
-            out_flat, pooled, jnp.asarray(packed.pos[k]), t
         )
+        parts.append((pooled, jnp.asarray(packed.pos[k])))
 
     if plan.tail_bags:
         pooled = coll.lookup_csr(
@@ -82,14 +72,20 @@ def lookup_csr_bucketed(
             jnp.asarray(packed.tail_idx),
             jnp.asarray(packed.tail_off),
             combiner=combiner,
-        )  # [tail_bags, T, D]
-        if out_flat is None:
-            d = pooled.shape[-1]
-            out_flat = jnp.zeros(((b + 1) * t, d), pooled.dtype)
-        out_flat = _scatter_pooled(
-            out_flat, pooled, jnp.asarray(packed.tail_pos), t
         )
+        parts.append((pooled, jnp.asarray(packed.tail_pos)))
 
-    if out_flat is None:  # every bag empty
+    if not parts:
         raise ValueError("bucketed CSR with all-zero capacities")
-    return out_flat.reshape(b + 1, t, d)[:b]
+
+    if packed.identity:  # fixed-L fast path: slot j IS batch element j
+        return parts[0][0][:b]
+
+    t, d = parts[0][0].shape[1], parts[0][0].shape[2]
+    out_flat = jnp.zeros((b + 1, t * d), parts[0][0].dtype)
+    for pooled, pos in parts:
+        bk = pooled.shape[0]
+        out_flat = out_flat.at[pos].set(
+            pooled.reshape(bk, t * d), mode="drop"
+        )
+    return out_flat[:b].reshape(b, t, d)

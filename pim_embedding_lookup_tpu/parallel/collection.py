@@ -995,6 +995,17 @@ def _lookup_routed_hot_dispatch(
     return fn(fused_table, g_idx, mask, hot_ids, hot_rows)
 
 
+def routed_bucket_k(em: int, cf: float, m: int) -> int:
+    """Per-(src, dst) routing bucket capacity: ceil(cf * em / m) with a
+    floor of 8 (sublane alignment) and a cap of em (one device's whole
+    slice).  The SINGLE source of truth for the ~cf*E/M routed-issue claim
+    — shared by the fixed-L and CSR lookup routers, the scatter-update
+    router (sparse_update.py), and the HLO audit
+    (tools/routed_hlo_audit.py), so the audit cannot drift from the
+    library (ADVICE r4)."""
+    return min(em, max(8, -(-int(cf * em) // m)))
+
+
 def _slice_entries(mi, m, em, pad, *arrays):
     """Pad flat per-entry arrays to em*m and take device mi's em-slice."""
     out = []
@@ -1029,7 +1040,7 @@ def _route_rows(table_shard, gs, vs, *, rows_per_shard, pack, cf, m, strided,
           * vs[:, None].astype(jnp.int32))  # [Em, M]
     cum = jnp.cumsum(oh, axis=0) - oh
     pos = jnp.take_along_axis(cum, owner[:, None], axis=1)[:, 0]  # [Em]
-    k = min(em, max(8, -(-int(cf * em) // m)))  # bucket cap per (src, dst)
+    k = routed_bucket_k(em, cf, m)  # bucket cap per (src, dst)
     ok = vs & (pos < k)
     slot = jnp.where(ok, owner * k + pos, m * k)  # oob -> dropped
     dropped = jax.lax.psum(

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ShardingPolicy
-from .collection import EmbeddingCollection
+from .collection import EmbeddingCollection, routed_bucket_k
 from .mesh import DATA_AXIS, MODEL_AXIS
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
@@ -202,7 +202,7 @@ def _routed_apply_entries(
     pos = jnp.take_along_axis(
         jnp.cumsum(oh, axis=0) - oh, owner[:, None], axis=1
     )[:, 0]
-    k = min(em, max(8, -(-int(cf * em) // m)))
+    k = routed_bucket_k(em, cf, m)
     ok = vs & (pos < k)
     slot = jnp.where(ok, owner * k + pos, m * k)
     # silently-lost gradient updates are the worst failure mode: count drops

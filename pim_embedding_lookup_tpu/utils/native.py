@@ -150,6 +150,14 @@ def pack_csr(
     values = np.ascontiguousarray(values, dtype=np.int32)
     voff = np.ascontiguousarray(voff, dtype=np.int64)
     t, b = lens.shape
+    # pel_pack_csr also returns -1 for shard-count misuse; validate here so
+    # a divisibility error is not misreported as capacity overflow (ADVICE
+    # r4)
+    if num_shards <= 0 or b % num_shards:
+        raise ValueError(
+            f"pack_csr: batch {b} must divide by num_shards {num_shards} "
+            "(> 0) — the data-sharded wire contract"
+        )
     idx = np.empty((t, num_shards * capacity_per_shard), np.int32)
     off = np.empty((t, num_shards * (b // num_shards + 1)), np.int32)
     rc = lib.pel_pack_csr(

@@ -8,7 +8,7 @@ for DCN), builds the global (data=nproc, model=4) mesh, and checks lookup
 shards only (no process ever sees the full global arrays — the point of
 the N-host path, SURVEY.md §2c / multihost.py).
 
-Usage: python tests/_mp_worker.py <pid> <nproc> <port> <policy>
+Usage: python tests/_mp_worker.py <pid> <nproc> <port> <policy> [local_devices]
 Exits 0 on success; any assert failure exits nonzero.
 """
 
@@ -24,7 +24,10 @@ def main() -> None:
     pid, nproc, port, policy_name = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
     )
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    local = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local}"
+    )
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -36,7 +39,7 @@ def main() -> None:
         process_id=pid,
     )
     assert jax.process_count() == nproc
-    assert jax.device_count() == 4 * nproc
+    assert jax.device_count() == local * nproc
 
     import jax.numpy as jnp
 
@@ -48,7 +51,15 @@ def main() -> None:
     )
 
     policy = ShardingPolicy(policy_name)
-    mesh = multihost.make_pod_mesh(data=nproc, model=4)
+    mesh = multihost.make_pod_mesh(data=nproc, model=local)
+    # the placement rule make_pod_mesh promises (the reference's
+    # within-rank analog, emb_types.h:6-7): every model-axis row lives in
+    # ONE process, so psum-heavy table collectives ride ICI while only the
+    # data axis crosses hosts/DCN
+    for row in mesh.devices:
+        assert len({d.process_index for d in row}) == 1, (
+            f"model axis spans processes: {[d.process_index for d in row]}"
+        )
 
     tables = (
         TableConfig(num_rows=96, dim=16, name="a"),

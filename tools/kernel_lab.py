@@ -839,6 +839,36 @@ def main():
         report("onehot 2048-row", igtimer(onehot_lookup, small, flat_idx,
                                           rotate, max(2, args.iters // 4)))
 
+    if want("hotcost"):
+        # Per-HIT cost of the hot-row cache probe vs a plain gather
+        # (VERDICT r4 weak #2: the dedup ledger claimed cache hits cost
+        # "zero per-entry issues"; hot_cache_select actually pays a
+        # searchsorted + a take from the replica per entry — measure it).
+        # All E entries probe the cache; hit rate ~K/n is near zero for
+        # uniform ids, so this times the PROBE itself (the cost every
+        # entry pays whether it hits or not).
+        from pim_embedding_lookup_tpu.parallel.hotcache import (
+            hot_cache_select,
+        )
+
+        for k_hot in (1024, 4096):
+            hot_ids_np = np.sort(
+                rng.choice(n, size=k_hot, replace=False).astype(np.int32)
+            )
+            hot_ids = jnp.asarray(hot_ids_np)
+            hot_rows = jnp.asarray(
+                rng.standard_normal((k_hot, d)).astype(np.float32)
+            )
+
+            def select_fn(tbl, i, _hi=hot_ids, _hr=hot_rows):
+                del tbl
+                hit, rows = hot_cache_select(
+                    _hi, _hr, i, jnp.ones_like(i, dtype=bool)
+                )
+                return rows
+            report(f"hotcache select K={k_hot}", igtimer(
+                select_fn, table, flat_idx, rotate, args.iters))
+
     if results:
         best = min(results, key=results.get)
         print(f"BEST: {best} {results[best]*1e6:.1f} us", file=sys.stderr)

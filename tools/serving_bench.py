@@ -101,6 +101,13 @@ def main():
                          "this environment's tunnel H2D cost from the "
                          "aggregation policy; NOT the real serving data "
                          "path)")
+    ap.add_argument("--stage", default="arrival",
+                    choices=["arrival", "dispatch"],
+                    help="when request tensors go to the device: 'arrival' "
+                         "= async device_put as each request arrives (H2D "
+                         "overlaps in-flight dispatches; concat happens "
+                         "in-graph), 'dispatch' = host concat + H2D on the "
+                         "dispatch path (the r4 semantics)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -201,9 +208,14 @@ def main():
         mask = jnp.ones((t, bd * l), bool)
 
         @jax.jit
-        def serve(params, dense, idx, salt):
-            # salt keeps every dispatch's args unique (dedup-proof) even if
-            # a pool combination recurs
+        def serve(params, dense_parts, idx_parts, salt):
+            # parts concatenate IN-GRAPH (one dispatch whether the caller
+            # passes nb per-request arrays — already-staged device buffers
+            # in --stage arrival — or one pre-concatenated array); salt
+            # keeps every dispatch's args unique (dedup-proof) even if a
+            # pool combination recurs
+            dense = jnp.concatenate(dense_parts)
+            idx = jnp.concatenate(idx_parts, axis=1)
             dense = dense + (salt.astype(jnp.float32) % 977.0) * 1e-7
             emb = params["emb"]
             if routed and hybrid:
@@ -223,16 +235,31 @@ def main():
 
         return serve
 
+    stage_arrival = args.stage == "arrival" and canned is None
     serve_fns = {}
     compile_s = {}
     for nb in buckets:
         serve_fns[nb] = make_serve(nb)
-        d0 = np.concatenate([pool[0][0]] * nb)
-        i0 = np.concatenate([pool[0][1]] * nb, axis=1)
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            serve_fns[nb](params, jnp.asarray(d0), jnp.asarray(i0), jnp.int32(0))
-        )
+        if canned is not None:
+            if nb != mb:
+                continue  # canned dispatches only ever use the full bucket
+            jax.block_until_ready(
+                serve_fns[nb](params, (canned[0][0],), (canned[0][1],),
+                              jnp.int32(0))
+            )
+        elif stage_arrival:
+            # the production call shape: nb per-request staged arrays
+            dp = tuple(jnp.asarray(pool[j % len(pool)][0]) for j in range(nb))
+            ip = tuple(jnp.asarray(pool[j % len(pool)][1]) for j in range(nb))
+            jax.block_until_ready(serve_fns[nb](params, dp, ip, jnp.int32(0)))
+        else:
+            d0 = np.concatenate([pool[0][0]] * nb)
+            i0 = np.concatenate([pool[0][1]] * nb, axis=1)
+            jax.block_until_ready(
+                serve_fns[nb](params, (jnp.asarray(d0),), (jnp.asarray(i0),),
+                              jnp.int32(0))
+            )
         compile_s[nb] = round(time.perf_counter() - t0, 1)
 
     drops = None
@@ -287,23 +314,39 @@ def main():
         """Stack the ACTUAL queued requests' payloads into one dispatch,
         padded (by repeating the last payload) up to the smallest compiled
         bucket that fits — padding compute is counted, padded rows are not
-        requests."""
+        requests.
+
+        --stage arrival: payloads are device arrays staged asynchronously
+        when the request ARRIVED (jax.device_put returns immediately; the
+        tunnel H2D overlaps the in-flight dispatches), so this path only
+        references buffers and the concat happens in-graph.
+        --stage dispatch (r4 semantics): payloads are host numpy; the
+        concat + H2D cost sits on this critical path."""
         nonlocal n_disp, pad_requests
         k = len(batch_items)
         if canned is not None:
             dense, idx = canned[n_disp % len(canned)]
-            out = serve_fns[mb](params, dense, idx, jnp.int32(n_disp))
+            out = serve_fns[mb](params, (dense,), (idx,), jnp.int32(n_disp))
             inflight.append(([a for a, _ in batch_items], out))
             n_disp += 1
             return
         nb = min(x for x in buckets if x >= k)
         pad_requests += nb - k
         payloads = [p for _, p in batch_items] + [batch_items[-1][1]] * (nb - k)
-        dense = np.concatenate([p[0] for p in payloads])
-        idx = np.concatenate([p[1] for p in payloads], axis=1)
-        out = serve_fns[nb](
-            params, jnp.asarray(dense), jnp.asarray(idx), jnp.int32(n_disp)
-        )
+        if stage_arrival:
+            out = serve_fns[nb](
+                params,
+                tuple(p[0] for p in payloads),
+                tuple(p[1] for p in payloads),
+                jnp.int32(n_disp),
+            )
+        else:
+            dense = np.concatenate([p[0] for p in payloads])
+            idx = np.concatenate([p[1] for p in payloads], axis=1)
+            out = serve_fns[nb](
+                params, (jnp.asarray(dense),), (jnp.asarray(idx),),
+                jnp.int32(n_disp),
+            )
         inflight.append(([a for a, _ in batch_items], out))
         n_disp += 1
 
@@ -320,7 +363,15 @@ def main():
             if now - next_arrival > 1.0:  # hopelessly behind: count drops
                 late_drops += 1
             else:
-                pending.append((next_arrival, pool[n_arr % len(pool)]))
+                payload = pool[n_arr % len(pool)]
+                if stage_arrival:
+                    # async H2D NOW (device_put returns immediately): the
+                    # transfer rides the tunnel while earlier dispatches
+                    # compute, instead of serializing on the dispatch path
+                    payload = (
+                        jax.device_put(payload[0]), jax.device_put(payload[1])
+                    )
+                pending.append((next_arrival, payload))
             n_arr += 1
             next_arrival += rng.exponential(1.0 / args.qps)
         # dispatch a microbatch when full, or when the oldest queued
@@ -355,7 +406,9 @@ def main():
         "dispatches": n_disp,
         "batch": b,
         "dtype": args.dtype,
-        "payload": "canned-staged" if canned is not None else "real-concat",
+        "payload": "canned-staged" if canned is not None else (
+            "real-arrival-staged" if stage_arrival else "real-concat"
+        ),
         "buckets": buckets,
         "bucket_compile_s": compile_s,
         "padded_requests": pad_requests,

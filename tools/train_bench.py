@@ -35,6 +35,10 @@ def main():
                          "scatter update (multi-chip scaling path)")
     ap.add_argument("--capacity-factor", type=float, default=2.0,
                     help="routed bucket capacity (throughput mode)")
+    ap.add_argument("--wire", default="dense", choices=["dense", "csr"],
+                    help="query wire shape: dense padded [T,B*L] or the "
+                         "reference's CSR indices+offsets (emb_host.h:234) "
+                         "— forward lookup_csr + CSR scatter update")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,9 @@ def main():
     from pim_embedding_lookup_tpu.models import DLRM
     from pim_embedding_lookup_tpu.models.dlrm import bce_loss
     from pim_embedding_lookup_tpu.models.sparse_train import make_sparse_train_state
-    from pim_embedding_lookup_tpu.models.sparse_train import _apply_sparse
+    from pim_embedding_lookup_tpu.models.sparse_train import (
+        _apply_sparse, _apply_sparse_csr,
+    )
     from pim_embedding_lookup_tpu.parallel import make_mesh
 
     cfg = {"kaggle": kaggle_config, "random": random_config, "toy": toy_config}[
@@ -102,8 +108,19 @@ def main():
 
     routed = args.routed and jax.device_count() > 1
     cf = args.capacity_factor
+    csr_wire = args.wire == "csr"
+    # fixed-L bags expressed as the reference's CSR offsets (emb_host.h:234)
+    # — the engine sees the generic ragged forward + CSR scatter backward
+    offsets = jnp.asarray(
+        np.tile(np.arange(b + 1, dtype=np.int32) * l, (t, 1))
+    ) if csr_wire else None
 
     def _lookup(emb, idx_i):
+        if csr_wire:
+            if routed:
+                return coll.lookup_csr(emb, idx_i, offsets, routed=True,
+                                       capacity_factor=cf)
+            return coll.lookup_csr(emb, idx_i, offsets)
         if not routed:
             return coll.lookup(emb, idx_i, mask, batch_size=b)
         if isinstance(coll, _Hyb):
@@ -124,11 +141,18 @@ def main():
         )
         updates, os_ = dense_opt.update(g_dense, os_, dp)
         dp = optax.apply_updates(dp, updates)
-        emb, acc = _apply_sparse(
-            coll, emb, acc, idx_i, mask, g_pooled,
-            lr=lr, optimizer=args.optimizer, eps=1e-8,
-            routed=routed, capacity_factor=cf if routed else None,
-        )
+        if csr_wire:
+            emb, acc = _apply_sparse_csr(
+                coll, emb, acc, idx_i, offsets, g_pooled,
+                lr=lr, optimizer=args.optimizer, eps=1e-8,
+                routed=routed, capacity_factor=cf if routed else None,
+            )
+        else:
+            emb, acc = _apply_sparse(
+                coll, emb, acc, idx_i, mask, g_pooled,
+                lr=lr, optimizer=args.optimizer, eps=1e-8,
+                routed=routed, capacity_factor=cf if routed else None,
+            )
         return emb, acc, dp, os_, loss
 
     @jax.jit
@@ -157,6 +181,7 @@ def main():
     print(json.dumps({
         "metric": f"{args.config}_sparse_train_step",
         "routed": routed,
+        "wire": args.wire,
         "us_per_step": round(dt * 1e6, 1),
         "samples_per_s": round(b / dt, 1),
         "loss_mean": float(state[-1]) / args.iters,
