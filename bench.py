@@ -156,11 +156,10 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
                 np.arange(batch + 1, dtype=np.int32) * pooling,
                 (t, 1),
             )
-    idx = jnp.asarray(
-        np.stack(
-            [rng.integers(0, tb.num_rows, size=capacity) for tb in tables]
-        ).astype(np.int32)
-    )
+    idx_np = np.stack(
+        [rng.integers(0, tb.num_rows, size=capacity) for tb in tables]
+    ).astype(np.int32)
+    idx = jnp.asarray(idx_np)
     mask = jnp.ones((t, capacity), dtype=bool)
 
     if wire == "csr":
@@ -189,8 +188,10 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
             sorted({1, pooling, 2 * pooling})
         )
         plan0 = plan_length_buckets(offsets_np, bucket_ls=bls, slack=1.0)
+        # pack from host numpy (converting the device idx would queue a
+        # D2H behind the in-flight init compile and pollute the timing)
         t_pack0 = time.perf_counter()
-        packed0 = pack_length_buckets(np.asarray(idx), offsets_np, plan0)
+        packed0 = pack_length_buckets(idx_np, offsets_np, plan0)
         pack_ms = (time.perf_counter() - t_pack0) * 1e3
         log(f"bucket plan: ls={plan0.bucket_ls} caps={plan0.capacities} "
             f"tail_bags={plan0.tail_bags} tail_entries={plan0.tail_entries} "
