@@ -190,12 +190,16 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         plan0 = plan_length_buckets(offsets_np, bucket_ls=bls, slack=1.0)
         # pack from host numpy (converting the device idx would queue a
         # D2H behind the in-flight init compile and pollute the timing)
+        from pim_embedding_lookup_tpu.utils import native as _native
+
+        packer = "native" if _native.available() else "numpy"
+        pack_length_buckets(idx_np, offsets_np, plan0)  # warm (lib load)
         t_pack0 = time.perf_counter()
         packed0 = pack_length_buckets(idx_np, offsets_np, plan0)
         pack_ms = (time.perf_counter() - t_pack0) * 1e3
         log(f"bucket plan: ls={plan0.bucket_ls} caps={plan0.capacities} "
             f"tail_bags={plan0.tail_bags} tail_entries={plan0.tail_entries} "
-            f"host_pack={pack_ms:.1f}ms/batch (numpy reference packer)")
+            f"host_pack={pack_ms:.1f}ms/batch ({packer} packer)")
         static = _dc.replace(
             packed0,
             idx=tuple(jnp.asarray(m) for m in packed0.idx),

@@ -208,4 +208,140 @@ int pel_pack_csr(const int32_t* values, const int64_t* voff,
   return 0;
 }
 
+// Length-bucket packer: the native fast path of ops/ragged.py's
+// pack_length_buckets (same semantics, threaded over tables).  The python
+// packer's 7-19 ms/batch dominates the 1.3 ms device dispatch it feeds
+// (docs/PERF.md, bucketed-CSR section); the reference likewise preps its
+// wire on the host at native speed (emb_host.h:234-268 builds the padded
+// buffers in C before the DPU call).
+//
+//   indices     [T, cap_c] int32 flat per-table ids (CSR values)
+//   offsets     [T, B+1] int64
+//   bucket_ls   [nk] ascending fixed pooling widths
+//   caps        [nk] slots per bucket
+//   idx_flat    [T * sum(caps[k]*ls[k])] int32, bucket-major blocks, each
+//               block row-major [T, caps[k]*ls[k]]   (padded pad_index)
+//   mask_flat   same layout, uint8 (1 = real entry)
+//   pos_flat    [sum(caps[k])] int32 batch positions (sentinel = B)
+//   tail_idx    [T * tail_entries] int32 (ignored when tail_bags == 0)
+//   tail_off    [T * (tail_bags+1)] int32
+//   tail_pos    [tail_bags] int32
+//
+// A batch element packs into the first bucket with L >= its max bag
+// length across tables that has a free slot; full buckets spill onward;
+// elements longer than bucket_ls[-1] (or spilled past every bucket) ride
+// the tail CSR.  Returns 0, -1 on tail-bag overflow, -2 on tail-entry
+// overflow, -3 on bad arguments.
+int pel_pack_buckets(const int32_t* indices, const int64_t* offsets,
+                     int64_t t_cnt, int64_t b, int64_t cap_c,
+                     const int64_t* bucket_ls, int64_t nk,
+                     const int64_t* caps, int64_t tail_bags,
+                     int64_t tail_entries, int32_t pad_index,
+                     int32_t* idx_flat, uint8_t* mask_flat, int32_t* pos_flat,
+                     int32_t* tail_idx, int32_t* tail_off, int32_t* tail_pos,
+                     int nthreads) {
+  if (t_cnt <= 0 || b <= 0 || nk <= 0) return -3;
+  for (int64_t k = 1; k < nk; ++k)
+    if (bucket_ls[k] <= bucket_ls[k - 1]) return -3;
+
+  // per-batch-element max bag length across tables (threaded over elements)
+  std::vector<int64_t> blen(static_cast<size_t>(b), 0);
+  parallel_for(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t t = 0; t < t_cnt; ++t) {
+      const int64_t* ot = offsets + t * (b + 1);
+      for (int64_t j = lo; j < hi; ++j) {
+        int64_t n = ot[j + 1] - ot[j];
+        if (n > blen[j]) blen[j] = n;
+      }
+    }
+  });
+
+  // greedy assignment in arrival order == the staged spill of the python
+  // packer (first caps[k] arrivals keep bucket k, the rest move onward)
+  std::vector<int32_t> assign(static_cast<size_t>(b));  // -1 empty, nk tail
+  std::vector<int32_t> slot(static_cast<size_t>(b), -1);
+  std::vector<int64_t> used(static_cast<size_t>(nk), 0);
+  int64_t n_tail = 0;
+  for (int64_t j = 0; j < b; ++j) {
+    if (blen[j] == 0) { assign[j] = -1; continue; }
+    int64_t k = 0;
+    while (k < nk && (bucket_ls[k] < blen[j] || used[k] >= caps[k])) ++k;
+    if (k < nk) {
+      assign[j] = static_cast<int32_t>(k);
+      slot[j] = static_cast<int32_t>(used[k]++);
+    } else {
+      assign[j] = static_cast<int32_t>(nk);
+      slot[j] = static_cast<int32_t>(n_tail++);
+    }
+  }
+  if (n_tail > tail_bags) return -1;
+
+  // block base offsets (per bucket) into idx_flat/mask_flat/pos_flat
+  std::vector<int64_t> ibase(static_cast<size_t>(nk) + 1, 0);
+  std::vector<int64_t> pbase(static_cast<size_t>(nk) + 1, 0);
+  for (int64_t k = 0; k < nk; ++k) {
+    ibase[k + 1] = ibase[k] + t_cnt * caps[k] * bucket_ls[k];
+    pbase[k + 1] = pbase[k] + caps[k];
+  }
+
+  // positions (serial: tiny)
+  for (int64_t k = 0; k < nk; ++k)
+    for (int64_t s = 0; s < caps[k]; ++s)
+      pos_flat[pbase[k] + s] = static_cast<int32_t>(b);
+  for (int64_t s = 0; s < tail_bags; ++s)
+    tail_pos[s] = static_cast<int32_t>(b);
+  for (int64_t j = 0; j < b; ++j) {
+    if (assign[j] < 0) continue;
+    if (assign[j] == nk)
+      tail_pos[slot[j]] = static_cast<int32_t>(j);
+    else
+      pos_flat[pbase[assign[j]] + slot[j]] = static_cast<int32_t>(j);
+  }
+
+  // per-table fill, threaded over tables
+  std::vector<int> rc(static_cast<size_t>(t_cnt), 0);
+  parallel_for(t_cnt, nthreads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t t = lo; t < hi; ++t) {
+      const int64_t* ot = offsets + t * (b + 1);
+      const int32_t* it = indices + t * cap_c;
+      for (int64_t k = 0; k < nk; ++k) {
+        const int64_t w = caps[k] * bucket_ls[k];
+        int32_t* iw = idx_flat + ibase[k] + t * w;
+        uint8_t* mw = mask_flat + ibase[k] + t * w;
+        std::fill(iw, iw + w, pad_index);
+        std::memset(mw, 0, static_cast<size_t>(w));
+      }
+      int32_t* tw = tail_bags ? tail_idx + t * tail_entries : nullptr;
+      int32_t* tow = tail_bags ? tail_off + t * (tail_bags + 1) : nullptr;
+      if (tw) std::fill(tw, tw + tail_entries, pad_index);
+      if (tow) tow[0] = 0;
+      int64_t toff = 0;
+      for (int64_t j = 0; j < b; ++j) {
+        const int32_t a = assign[j];
+        if (a < 0) continue;
+        const int64_t n = ot[j + 1] - ot[j];
+        if (a == static_cast<int32_t>(nk)) {
+          if (toff + n > tail_entries) { rc[t] = -2; break; }
+          std::memcpy(tw + toff, it + ot[j], n * sizeof(int32_t));
+          toff += n;
+          tow[slot[j] + 1] = static_cast<int32_t>(toff);
+        } else {
+          int32_t* iw = idx_flat + ibase[a] +
+                        t * caps[a] * bucket_ls[a] + slot[j] * bucket_ls[a];
+          uint8_t* mw = mask_flat + ibase[a] +
+                        t * caps[a] * bucket_ls[a] + slot[j] * bucket_ls[a];
+          std::memcpy(iw, it + ot[j], n * sizeof(int32_t));
+          std::memset(mw, 1, static_cast<size_t>(n));
+        }
+      }
+      if (tow)
+        for (int64_t s = n_tail; s < tail_bags; ++s)
+          tow[s + 1] = static_cast<int32_t>(toff);
+    }
+  });
+  for (int64_t t = 0; t < t_cnt; ++t)
+    if (rc[t]) return rc[t];
+  return 0;
+}
+
 }  // extern "C"

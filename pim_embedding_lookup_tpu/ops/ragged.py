@@ -236,9 +236,15 @@ def pack_length_buckets(
     offsets: np.ndarray,  # [T, B+1]
     plan: LengthBucketPlan,
     pad_index: int = 0,
+    impl: str = "auto",  # auto | native | numpy
 ) -> BucketedCSR:
-    """Pack one batch's CSR bags into the plan's fixed shapes (vectorized
-    numpy — one pass per (bucket, table)).
+    """Pack one batch's CSR bags into the plan's fixed shapes.
+
+    ``impl="auto"`` uses the threaded native packer (native/feeder.cpp
+    pel_pack_buckets) when the library is built — the numpy packer's
+    7-19 ms/batch dominates the ~1.3 ms device dispatch it feeds, and the
+    reference likewise preps its wire buffers in C (emb_host.h:234-268).
+    Both packers share one contract (parity: tests/test_bucketed_csr.py).
 
     A batch element goes to the first bucket with L >= maxlen and a free
     slot; full buckets spill to the next larger bucket, then to the tail
@@ -246,6 +252,40 @@ def pack_length_buckets(
     tail overflows — re-plan with more slack (callers can always fall back
     to plain lookup_csr for that batch).
     """
+    if impl != "numpy":
+        from ..utils import native as _native
+
+        packed = _native.pack_buckets(
+            indices, offsets,
+            bucket_ls=plan.bucket_ls, capacities=plan.capacities,
+            tail_bags=plan.tail_bags, tail_entries=plan.tail_entries,
+            pad_index=pad_index,
+        ) if (_native.available() or impl == "native") else None
+        if packed is None:
+            if impl == "native":
+                raise RuntimeError(
+                    "native packer requested but libpelfeeder.so not built "
+                    "(make -C native)"
+                )
+        else:
+            idx_t, mask_t, pos_t, tail_idx, tail_off, tail_pos = packed
+            b = plan.batch
+            nonzero = [k for k in range(len(plan.bucket_ls))
+                       if plan.capacities[k]]
+            tail_used = (
+                int((tail_pos < b).sum()) if tail_pos is not None else 0
+            )
+            identity = (
+                tail_used == 0
+                and len(nonzero) == 1
+                and plan.capacities[nonzero[0]] >= b
+                and bool(np.array_equal(pos_t[nonzero[0]][:b], np.arange(b)))
+            )
+            return BucketedCSR(
+                plan=plan, idx=idx_t, mask=mask_t, pos=pos_t,
+                tail_idx=tail_idx, tail_off=tail_off, tail_pos=tail_pos,
+                identity=identity,
+            )
     indices = np.asarray(indices)
     offsets = np.asarray(offsets).astype(np.int64)
     t, b = offsets.shape[0], offsets.shape[1] - 1

@@ -60,6 +60,18 @@ def _load():
             ctypes.c_int,
         ]
         lib.pel_pack_csr.restype = ctypes.c_int
+        lib.pel_pack_buckets.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+        ]
+        lib.pel_pack_buckets.restype = ctypes.c_int
         _LIB = lib
         return lib
     _LIB = False
@@ -170,3 +182,77 @@ def pack_csr(
             f"pack_csr: a shard window exceeds capacity {capacity_per_shard}"
         )
     return idx, off
+
+
+def pack_buckets(
+    indices: np.ndarray,  # [T, C] int32 flat per-table ids
+    offsets: np.ndarray,  # [T, B+1]
+    *,
+    bucket_ls: tuple[int, ...],
+    capacities: tuple[int, ...],
+    tail_bags: int,
+    tail_entries: int,
+    pad_index: int = 0,
+    nthreads: int = 0,
+):
+    """Native length-bucket packer (same semantics as the numpy packer in
+    ops/ragged.pack_length_buckets, threaded over tables — the host-side
+    wire prep the reference keeps in C, emb_host.h:234-268).
+
+    Returns ``(idx_list, mask_list, pos_list, tail_idx, tail_off,
+    tail_pos)`` with per-bucket arrays shaped [T, cap_k*L_k] /
+    [cap_k], or ``None`` when the library is unavailable.  Raises
+    ValueError on plan overflow (same contract as the numpy packer).
+    """
+    lib = _load()
+    if not lib:
+        return None
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    t, b = offsets.shape[0], offsets.shape[1] - 1
+    ls = np.ascontiguousarray(bucket_ls, dtype=np.int64)
+    caps = np.ascontiguousarray(capacities, dtype=np.int64)
+    nk = len(ls)
+    sizes = [int(caps[k] * ls[k]) for k in range(nk)]
+    idx_flat = np.empty(t * sum(sizes), np.int32)
+    mask_flat = np.empty(t * sum(sizes), np.uint8)
+    pos_flat = np.empty(int(caps.sum()), np.int32)
+    has_tail = tail_bags > 0
+    tail_idx = np.empty((t, max(tail_entries, 1)), np.int32)
+    tail_off = np.empty((t, tail_bags + 1), np.int32)
+    tail_pos = np.empty(max(tail_bags, 1), np.int32)
+    rc = lib.pel_pack_buckets(
+        _i32p(indices),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        t, b, indices.shape[1],
+        ls.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), nk,
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tail_bags, tail_entries, pad_index,
+        _i32p(idx_flat),
+        mask_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(pos_flat), _i32p(tail_idx), _i32p(tail_off), _i32p(tail_pos),
+        nthreads or (os.cpu_count() or 1),
+    )
+    if rc == -3:
+        raise ValueError("pack_buckets: bad plan (bucket_ls must ascend)")
+    if rc != 0:
+        raise ValueError(
+            "bucket plan overflow (native packer) — re-plan with more "
+            "slack or fall back to lookup_csr"
+        )
+    idx_list, mask_list, pos_list = [], [], []
+    o = po = 0
+    for k in range(nk):
+        w = sizes[k]
+        idx_list.append(idx_flat[o * t : o * t + t * w].reshape(t, w))
+        mask_list.append(
+            mask_flat[o * t : o * t + t * w].reshape(t, w).astype(bool))
+        pos_list.append(pos_flat[po : po + int(caps[k])])
+        o += w
+        po += int(caps[k])
+    return (
+        tuple(idx_list), tuple(mask_list), tuple(pos_list),
+        tail_idx if has_tail else None,
+        tail_off if has_tail else None,
+        tail_pos[:tail_bags] if has_tail else None,
+    )

@@ -192,3 +192,53 @@ def test_bucketed_single_hot_no_tail(mesh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_native_packer_parity():
+    """Native threaded packer (feeder.cpp pel_pack_buckets) produces
+    byte-identical BucketedCSR output to the numpy packer across random
+    ragged batches — including spill, tail, empty bags, and the identity
+    fast path.  Skips when the native lib isn't built."""
+    from pim_embedding_lookup_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("libpelfeeder.so not built (make -C native)")
+    rng = np.random.default_rng(7)
+
+    def compare(p1, p2):
+        assert p1.identity == p2.identity
+        for a, b2 in zip(p1.idx + p1.mask + p1.pos, p2.idx + p2.mask + p2.pos):
+            np.testing.assert_array_equal(a, b2)
+        for a, b2 in (
+            (p1.tail_idx, p2.tail_idx),
+            (p1.tail_off, p2.tail_off),
+            (p1.tail_pos, p2.tail_pos),
+        ):
+            assert (a is None) == (b2 is None)
+            if a is not None:
+                np.testing.assert_array_equal(a, b2)
+
+    for trial in range(12):
+        b = int(rng.integers(4, 120))
+        bags = ragged_case(rng, b)
+        idx, off = shard_csr(bags, 1, 16 * b)
+        plan = plan_length_buckets(
+            off, bucket_ls=(1, 2, 4), slack=float(rng.uniform(1.0, 1.6))
+        )
+        pn = pack_length_buckets(idx, off, plan, impl="numpy")
+        pc = pack_length_buckets(idx, off, plan, impl="native")
+        compare(pn, pc)
+
+    # identity case: fixed-L single-hot
+    b = 64
+    lens = np.ones((len(TABLES), b), np.int64)
+    off = np.zeros((len(TABLES), b + 1), np.int64)
+    np.cumsum(lens, axis=1, out=off[:, 1:])
+    idx = np.stack(
+        [rng.integers(0, t.num_rows, size=b) for t in TABLES]
+    ).astype(np.int32)
+    plan = plan_length_buckets(off, bucket_ls=(1, 2), slack=1.0)
+    pn = pack_length_buckets(idx, off, plan, impl="numpy")
+    pc = pack_length_buckets(idx, off, plan, impl="native")
+    compare(pn, pc)
+    assert pc.identity
