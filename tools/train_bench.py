@@ -39,6 +39,13 @@ def main():
                     help="query wire shape: dense padded [T,B*L] or the "
                          "reference's CSR indices+offsets (emb_host.h:234) "
                          "— forward lookup_csr + CSR scatter update")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="learning rate (default 0.1/pooling: SUM pooling "
+                         "scales each bag's pooled delta by ~L*lr per step, "
+                         "so the single-hot contract lr 0.1 diverges to NaN "
+                         "within 4 steps at pooling 120 — measured; timing "
+                         "is lr-independent, the derate keeps the loss "
+                         "trace finite)")
     args = ap.parse_args()
 
     import jax
@@ -81,7 +88,7 @@ def main():
     jax.block_until_ready(params["emb"])
     print("init done", file=sys.stderr)
 
-    lr = 0.1
+    lr = args.lr if args.lr is not None else 0.1 / max(1, args.pooling)
     dense_opt, opt_state, acc = make_sparse_train_state(model, params, lr=lr)
     dense_params = {k: params[k] for k in ("bot", "top")}
     emb = params["emb"]
@@ -182,6 +189,7 @@ def main():
         "metric": f"{args.config}_sparse_train_step",
         "routed": routed,
         "wire": args.wire,
+        "lr": lr,
         "us_per_step": round(dt * 1e6, 1),
         "samples_per_s": round(b / dt, 1),
         "loss_mean": float(state[-1]) / args.iters,
