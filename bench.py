@@ -200,17 +200,16 @@ def tpu_lookup_rate(tables, batch, pooling, iters, seed=0, hybrid=True,
         log(f"bucket plan: ls={plan0.bucket_ls} caps={plan0.capacities} "
             f"tail_bags={plan0.tail_bags} tail_entries={plan0.tail_entries} "
             f"host_pack={pack_ms:.1f}ms/batch ({packer} packer)")
+        # only the ROTATING id arrays become device arrays (jit args);
+        # masks/pos/tail metadata stay host numpy so they embed as IR
+        # constants at trace time — a closed-over DEVICE array costs a
+        # D2H fetch through the tunnel per compile (observed as a
+        # transient ABORTED during one compile) for the same bytes
         static = _dc.replace(
             packed0,
             idx=tuple(jnp.asarray(m) for m in packed0.idx),
-            mask=tuple(jnp.asarray(m) for m in packed0.mask),
-            pos=tuple(jnp.asarray(p) for p in packed0.pos),
             tail_idx=None if packed0.tail_idx is None
             else jnp.asarray(packed0.tail_idx),
-            tail_off=None if packed0.tail_off is None
-            else jnp.asarray(packed0.tail_off),
-            tail_pos=None if packed0.tail_pos is None
-            else jnp.asarray(packed0.tail_pos),
         )
         # the rotating query pytree: bucket ids (+ tail ids if present)
         idx = (static.idx if static.tail_idx is None

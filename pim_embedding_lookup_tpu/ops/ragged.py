@@ -252,6 +252,10 @@ def pack_length_buckets(
     tail overflows — re-plan with more slack (callers can always fall back
     to plain lookup_csr for that batch).
     """
+    _b = np.asarray(offsets).shape[1] - 1
+    if _b != plan.batch:  # validate for BOTH packers (the numpy branch
+        # re-checks; the native packer would silently mis-pack otherwise)
+        raise ValueError(f"batch {_b} != plan batch {plan.batch}")
     if impl != "numpy":
         from ..utils import native as _native
 
@@ -370,10 +374,8 @@ def pack_length_buckets(
             tail_idx[ti, dest] = indices[ti, put]
             tail_off[ti, 1 : len(tail_list) + 1] = toff[1:]
             tail_off[ti, len(tail_list) + 1 :] = toff[-1]
-    elif len(tail_list):
-        raise ValueError(
-            "bucket plan overflow (residual bags but tail capacity 0)"
-        )
+    # (residual bags with tail capacity 0 already raised at the
+    # tail-overflow check above — len(tail_list) > 0 == tail_bags there)
 
     nonzero = [k for k in range(nk) if caps[k]]
     identity = (

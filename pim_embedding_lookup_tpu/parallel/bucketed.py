@@ -66,6 +66,12 @@ def lookup_csr_bucketed(
         )
         parts.append((pooled, jnp.asarray(packed.pos[k])))
 
+    if packed.identity and parts:
+        # fixed-L fast path: slot j IS batch element j — return before the
+        # tail dispatch (identity implies the tail is unused this batch;
+        # dispatching the all-sentinel tail would waste a full CSR call)
+        return parts[0][0][:b]
+
     if plan.tail_bags:
         pooled = coll.lookup_csr(
             params,
@@ -77,9 +83,6 @@ def lookup_csr_bucketed(
 
     if not parts:
         raise ValueError("bucketed CSR with all-zero capacities")
-
-    if packed.identity:  # fixed-L fast path: slot j IS batch element j
-        return parts[0][0][:b]
 
     t, d = parts[0][0].shape[1], parts[0][0].shape[2]
     out_flat = jnp.zeros((b + 1, t * d), parts[0][0].dtype)

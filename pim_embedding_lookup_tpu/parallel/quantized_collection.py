@@ -55,6 +55,15 @@ class QuantizedEmbeddingCollection:
     mesh: Mesh
     scale_mode: str = "table"  # "table" (fast) | "row" (per-row accuracy)
 
+    def __post_init__(self):
+        # validate here, not only in create(): direct construction (e.g.
+        # models/quantize.py reusing an existing layout) must not let a
+        # typo'd scale_mode silently select the 2x-slower per-row checks
+        if self.scale_mode not in ("table", "row"):
+            raise ValueError(
+                f"scale_mode must be 'table' or 'row': {self.scale_mode!r}"
+            )
+
     @staticmethod
     def create(
         tables: Sequence[TableConfig],

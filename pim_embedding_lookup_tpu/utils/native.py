@@ -60,6 +60,12 @@ def _load():
             ctypes.c_int,
         ]
         lib.pel_pack_csr.restype = ctypes.c_int
+        # pel_pack_buckets is newer than the other symbols: a stale .so
+        # (built before it existed) must degrade to the numpy packer, not
+        # break every native consumer with AttributeError
+        if not hasattr(lib, "pel_pack_buckets"):
+            _LIB = lib
+            return lib
         lib.pel_pack_buckets.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -205,11 +211,24 @@ def pack_buckets(
     ValueError on plan overflow (same contract as the numpy packer).
     """
     lib = _load()
-    if not lib:
-        return None
+    if not lib or not hasattr(lib, "pel_pack_buckets"):
+        return None  # stale .so without the symbol -> numpy fallback
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     t, b = offsets.shape[0], offsets.shape[1] - 1
+    # sanity the C packer cannot do safely itself: malformed offsets would
+    # turn a negative length into a huge size_t memcpy (the numpy packer
+    # raises cleanly on the same inputs)
+    lens = offsets[:, 1:] - offsets[:, :-1]
+    if (
+        (lens < 0).any()
+        or (offsets[:, 0] < 0).any()
+        or (offsets[:, -1] > indices.shape[1]).any()
+    ):
+        raise ValueError(
+            "pack_buckets: offsets must be non-decreasing, start >= 0, and "
+            "end within indices capacity"
+        )
     ls = np.ascontiguousarray(bucket_ls, dtype=np.int64)
     caps = np.ascontiguousarray(capacities, dtype=np.int64)
     nk = len(ls)

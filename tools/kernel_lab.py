@@ -860,14 +860,18 @@ def main():
                 rng.standard_normal((k_hot, d)).astype(np.float32)
             )
 
-            def select_fn(tbl, i, _hi=hot_ids, _hr=hot_rows):
-                del tbl
+            def select_fn(tbl, i):
+                # cache operands ride the tbl pytree slot: closing over
+                # device arrays would embed them as program constants
+                # (igtimer docstring / CLAUDE.md rule 3)
+                _hi, _hr = tbl
                 hit, rows = hot_cache_select(
                     _hi, _hr, i, jnp.ones_like(i, dtype=bool)
                 )
                 return rows
             report(f"hotcache select K={k_hot}", igtimer(
-                select_fn, table, flat_idx, rotate, args.iters))
+                select_fn, (hot_ids, hot_rows), flat_idx, rotate,
+                args.iters))
 
     if results:
         best = min(results, key=results.get)
