@@ -242,3 +242,45 @@ def test_native_packer_parity():
     pc = pack_length_buckets(idx, off, plan, impl="native")
     compare(pn, pc)
     assert pc.identity
+
+
+def test_packer_misuse_errors():
+    """Both packers reject a batch/plan mismatch; the native packer rejects
+    malformed offsets with ValueError instead of reaching the C memcpy
+    (r5 self-review findings)."""
+    from pim_embedding_lookup_tpu.utils import native
+
+    t = 2
+    off = np.zeros((t, 9), np.int64)
+    off[:, 1:] = np.cumsum(np.ones((t, 8)), axis=1)
+    idx = np.zeros((t, 8), np.int32)
+    plan = plan_length_buckets(off, bucket_ls=(1,), slack=1.0)
+
+    bad_off = np.zeros((t, 5), np.int64)
+    bad_off[:, 1:] = np.cumsum(np.ones((t, 4)), axis=1)
+    for impl in ("numpy", "auto"):
+        with pytest.raises(ValueError, match="plan batch"):
+            pack_length_buckets(
+                np.zeros((t, 4), np.int32), bad_off, plan, impl=impl
+            )
+
+    if native.available():
+        mal = off.copy()
+        mal[0, 3] = 1  # decreasing pair -> negative length
+        with pytest.raises(ValueError, match="non-decreasing"):
+            native.pack_buckets(
+                idx, mal, bucket_ls=(1,), capacities=(8,),
+                tail_bags=0, tail_entries=0,
+            )
+
+
+def test_quantized_scale_mode_validated_on_direct_construction():
+    """scale_mode typos raise even when the dataclass is constructed
+    directly (models/quantize.py path), not only via create()."""
+    from pim_embedding_lookup_tpu.parallel import make_mesh
+    from pim_embedding_lookup_tpu.parallel.planner import plan
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    lay = plan(TABLES, 4, ShardingPolicy.ROW_HASH, True)
+    with pytest.raises(ValueError, match="scale_mode"):
+        QuantizedEmbeddingCollection(layout=lay, mesh=mesh, scale_mode="Table")
